@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
+/ ``oracle_sql()`` expose the operator inventory of SURVEY.md §2, one
+callable + DuckDB twin per operator (glre_spark/operators/*).
 """
 
 from __future__ import annotations
@@ -15,24 +13,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: read sf0.001 documents for scale/ids, synthesize the
+    north-rule pages table (url, warc_ts, html, text, lang) deterministically
+    from them (FIXTURES.md §B), run the full GLRE KG pipeline → triples."""
+    import pandas as pd
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.pipeline import build_triples
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = docs.select("doc_id").repartition(8).mapInPandas(gen, PAGES_SCHEMA)
+    return build_triples(spark, pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from glre_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from glre_spark.operators import all_oracle_sql
+
+    return all_oracle_sql()

@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract + SURVEY.md M6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline set: the flagship GLRE KG pipeline (pages synthesized 1:1 from the
+documents doc_ids — inference, linking, dedup) plus the heaviest relational
+operators over the driver testdata. Every timing is action-to-completion
+(count()), first a warmup query to amortize JVM/Arrow startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from glre_spark.operators import REGISTRY, _ensure_loaded
+    from glre_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("glre_bench", cores=cores, shuffle_partitions=max(cores, 16))
+
+    # warmup: JVM + Arrow + Python workers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    headline = [
+        "glre_infer_triples",   # the flagship KG pipeline end-to-end
+        "glre_extract_text",    # extraction invariant at scale
+        "agg_groupby",
+        "join_broadcast",
+        "join_salted_skew",
+        "win_rownum_topk",
+        "win_session",
+        "minhash_sig",
+        "lsh_candidates",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "text_fingerprint",
+        "simhash_dedup",
+        "cc_label_prop",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

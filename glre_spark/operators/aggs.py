@@ -1,0 +1,139 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All hash aggregations get map-side partial aggregation from Spark for
+free; counts are cast to BIGINT on both sides (DuckDB SUM/COUNT width
+quirks) and float aggregates are rounded so the driver's value-hash is
+ulp-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glre_spark.operators import cents, fround, load, op
+
+
+@op(
+    "agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity) + 1e-9, 2) + 0 AS sum_qty,
+              ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    / 10000.0 + 1e-9, 2) + 0 AS revenue,
+              ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                    / (COUNT(*) * 100.0) + 1e-9, 4) + 0 AS avg_disc,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H Q1 shape. Money aggregates are lifted to exact integer cents
+    before SUM (float sum order is engine/partition-dependent) — the
+    scale-safe convention for every hash-compared money aggregate."""
+    disc_c = cents(F.col("l_discount"))
+    price_c = cents(F.col("l_extendedprice"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias("revenue"),
+            fround(F.sum(disc_c) / (F.count("*") * 100.0), 4).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+@op(
+    "agg_count_distinct",
+    """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_cust"))
+    )
+
+
+@op("agg_approx_distinct", None)  # estimator values are engine-specific → rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct — the 10^12-scale cardinality path (HLL++;
+    exact distinct is a shuffle bomb at north-rule scale)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+    )
+
+
+@op(
+    "agg_collect_list",
+    """SELECT o_custkey,
+              string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def agg_collect_list(spark, sf_dir):
+    """collect_list with a deterministic order fix (array_sort) — compared
+    as a joined string so both engines hash identical values."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_keys"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    """SELECT n_regionkey, n_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+       FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@op(
+    "agg_pivot",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_O,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_F,
+              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_P
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_pivot(spark, sf_dir):
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("st_O"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("st_F"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("st_P"),
+    )
+
+
+@op(
+    "agg_distinct_rows",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def agg_distinct_rows(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

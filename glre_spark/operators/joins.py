@@ -1,0 +1,194 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes: small dims (region/nation/supplier/part) are broadcast —
+`F.broadcast` hints where Catalyst's stats can't see it; the salted join
+demonstrates explicit hot-key handling (north_rule) and is property-tested
+equal to the plain join; the theta/range join keeps its small side tiny so
+the broadcast-nested-loop stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from glre_spark.operators import cents, fround, load, op
+from glre_spark.operators.scans import PAGES_CTE, pages_view
+
+
+@op(
+    "join_inner_eq",
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def join_inner_eq(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@op(
+    "join_broadcast",
+    """SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              ROUND(SUM(l.l_quantity) + 1e-9, 2) + 0 AS sum_qty
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def join_broadcast(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@op(
+    "join_salted_skew",
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                    + 1e-9, 2) + 0 AS revenue
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name""",
+)
+def join_salted_skew(spark, sf_dir, salt_buckets: int = 8):
+    """Salted broadcast join: fact side salted by row hash, dim side
+    replicated ×N via explode(sequence) — result ≡ the plain join (the
+    oracle IS the plain join)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    )
+    return (
+        li.join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (li["_salt"] == sup["_salt"]),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            fround(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+@op(
+    "join_left_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_left_semi(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_left_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_left_anti(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_outer",
+    """SELECT c.c_custkey, c.c_name, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+       FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey, c.c_name""",
+)
+def join_outer(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+
+
+@op(
+    "join_theta_range",
+    """SELECT p.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_close
+       FROM part p JOIN lineitem l
+         ON l.l_extendedprice >= p.p_retailprice * 0.9
+        AND l.l_extendedprice <  p.p_retailprice * 1.1
+       WHERE p.p_partkey <= 10
+       GROUP BY p.p_partkey""",
+)
+def join_theta_range(spark, sf_dir):
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 10)
+    li = load(spark, sf_dir, "lineitem")
+    cond = (li.l_extendedprice >= part.p_retailprice * 0.9) & (
+        li.l_extendedprice < part.p_retailprice * 1.1
+    )
+    return (
+        F.broadcast(part)
+        .join(li, cond)
+        .groupBy("p_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_close"))
+    )
+
+
+@op(
+    "join_asof",
+    PAGES_CTE
+    + """SELECT url, warc_ts, doc_id FROM (
+           SELECT url, warc_ts, doc_id,
+                  row_number() OVER (PARTITION BY url
+                                     ORDER BY warc_ts DESC, doc_id DESC) AS rn
+           FROM pages) WHERE rn = 1""",
+)
+def join_asof(spark, sf_dir):
+    """Latest crawl per url — Spark's as-of idiom (no native ASOF join):
+    window + row_number (SURVEY.md §2.3)."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("doc_id"))
+    return (
+        pages_view(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "warc_ts", "doc_id")
+    )
+
+
+@op(
+    "join_self_block",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM documents a JOIN documents b
+         ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+)
+def join_self_block(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("blk"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("blk"))
+    return a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+@op(
+    "join_cross_small",
+    """SELECT r.r_name, s.o_orderstatus
+       FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s""",
+)
+def join_cross_small(spark, sf_dir):
+    region = load(spark, sf_dir, "region").select("r_name")
+    status = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)

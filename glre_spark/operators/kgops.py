@@ -1,0 +1,523 @@
+"""KG-construction composite operators (SURVEY.md §2.9, §2.12) plus the
+large-scale training-data ops (dedup families, ANN similarity) — each with
+a DuckDB twin where SQL-expressible, rows-only otherwise.
+
+MinHash/LSH use md5 as the hash family (stable across engines; min taken
+lexicographically over hex digests — SURVEY.md §2.12) so the oracle can
+compute bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from glre_spark.operators import fround, load, op
+
+# ---------------------------------------------------------------------------
+# Entity linking: broadcast alias-dictionary join (link_alias_broadcast)
+# ---------------------------------------------------------------------------
+
+
+def _alias_values_sql() -> str:
+    from glre_spark.datagen import alias_rows
+
+    rows = ",\n    ".join(
+        "('{}', '{}', '{}', '{}')".format(
+            r["alias_norm"].replace("'", "''"),
+            r["entity_key"],
+            r["canonical_name"].replace("'", "''"),
+            r["type"],
+        )
+        for r in alias_rows()
+    )
+    return f"alias_dict(alias_norm, entity_key, canonical_name, typ) AS (VALUES\n    {rows})"
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _norm_col(c):
+    x = F.lower(c)
+    x = F.regexp_replace(x, "[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
+@op(
+    "link_alias_broadcast",
+    f"""WITH {_alias_values_sql()},
+       m AS (SELECT n_nationkey, {_NORM_SQL.format(c='n_name')} AS alias_norm FROM nation)
+       SELECT m.n_nationkey, m.alias_norm, a.entity_key, a.canonical_name
+       FROM m LEFT JOIN alias_dict a USING (alias_norm)""",
+)
+def link_alias_broadcast(spark, sf_dir):
+    """Mention names (TPC-H nation names double as LOC mentions) broadcast-
+    joined onto the alias dictionary."""
+    from glre_spark.datagen import alias_rows
+
+    alias_df = spark.createDataFrame(
+        alias_rows(),
+        "alias_norm string, entity_key string, canonical_name string, typ string",
+    ).drop("typ")
+    m = load(spark, sf_dir, "nation").select(
+        "n_nationkey", _norm_col(F.col("n_name")).alias("alias_norm")
+    )
+    return m.join(F.broadcast(alias_df), "alias_norm", "left").select(
+        "n_nationkey", "alias_norm", "entity_key", "canonical_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH over documents (minhash_sig / lsh_band / lsh_candidates)
+# ---------------------------------------------------------------------------
+
+_K = 8  # signature length; bands of r=2 → 4 bands
+
+_SHINGLE_CTE = """sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, greatest(length(text) - 1, 2))) AS i
+        FROM documents)
+)"""
+
+_SIG_CTE = (
+    _SHINGLE_CTE
+    + """,
+sig AS (
+  SELECT doc_id, """
+    + ", ".join(f"min(md5(s || ':{i}')) AS mh{i}" for i in range(_K))
+    + """
+  FROM sh GROUP BY doc_id
+)"""
+)
+
+
+def _shingle_col(c, k: int = 3):
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def _seed_hash(i: int):
+    # NB: must return a ONE-arg lambda — F.transform interprets a two-arg
+    # lambda as (element, index), which would silently shadow the seed.
+    return lambda x: F.md5(F.concat(x, F.lit(f":{i}")))
+
+
+def _sig_df(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingle_col(F.col("text")).alias("sh")
+    )
+    return docs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh"), _seed_hash(i))).alias(f"mh{i}")
+            for i in range(_K)
+        ],
+    )
+
+
+@op("minhash_sig", "WITH " + _SIG_CTE + " SELECT * FROM sig")
+def minhash_sig(spark, sf_dir):
+    return _sig_df(spark, sf_dir)
+
+
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, CAST({b} AS BIGINT) AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+    for b in range(_K // 2)
+)
+
+
+@op("lsh_band", "WITH " + _SIG_CTE + " " + _BAND_SELECTS)
+def lsh_band(spark, sf_dir):
+    sig = _sig_df(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+            for b in range(_K // 2)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
+    ).select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
+
+
+@op(
+    "lsh_candidates",
+    "WITH "
+    + _SIG_CTE
+    + """,
+bands AS ("""
+    + _BAND_SELECTS
+    + """)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.band_id = b.band_id
+WHERE a.doc_id < b.doc_id""",
+)
+def lsh_candidates(spark, sf_dir):
+    """Candidate near-dup pairs = documents sharing an LSH band bucket."""
+    bands = lsh_band(spark, sf_dir)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components + canonical naming
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "cc_label_prop",
+    """WITH RECURSIVE edges AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(100 + n_regionkey AS BIGINT) AS dst
+         FROM nation
+         UNION ALL
+         SELECT CAST(100 + n_regionkey AS BIGINT), CAST(n_nationkey AS BIGINT) FROM nation
+       ),
+       reach(id, lbl) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       )
+       SELECT id, MIN(lbl) AS component FROM reach GROUP BY id""",
+)
+def cc_label_prop(spark, sf_dir):
+    """Connected components by iterative min-label propagation
+    (glre_spark.linking.connected_components); oracle = recursive CTE.
+    Graph: bipartite nation↔region (components = the 5 region clusters)."""
+    from glre_spark.linking import connected_components
+
+    nation = load(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("id_a"),
+        (F.lit(100) + F.col("n_regionkey")).cast("bigint").alias("id_b"),
+    )
+    return connected_components(edges).select("id", "component")
+
+
+@op(
+    "canonicalize",
+    """SELECT c_nationkey, c_mktsegment AS canonical FROM (
+         SELECT c_nationkey, c_mktsegment,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+         FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rk = 1""",
+)
+def canonicalize(spark, sf_dir):
+    """Canonical pick per cluster: most frequent value, tie → lexicographic."""
+    counts = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("c_nationkey", F.col("c_mktsegment").alias("canonical"))
+    )
+
+
+@op(
+    "dedup_triples",
+    """SELECT l_partkey AS subj, l_returnflag AS pred, l_suppkey AS obj,
+              ROUND(MAX(l_extendedprice), 2) AS score, CAST(COUNT(*) AS BIGINT) AS n_sources
+       FROM lineitem GROUP BY 1, 2, 3""",
+)
+def dedup_triples_op(spark, sf_dir):
+    """Exact (subj, pred, obj) dedup keeping max score — the triple-sink
+    pre-pass shape (pipeline.dedup_triples) over relational stand-ins."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("subj"),
+            F.col("l_returnflag").alias("pred"),
+            F.col("l_suppkey").alias("obj"),
+        )
+        .agg(
+            F.round(F.max("l_extendedprice"), 2).alias("score"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resume / lineage relational logic (§2.9)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "resume_filter",
+    """WITH buckets AS (SELECT DISTINCT doc_id % 64 AS bucket FROM documents),
+       done AS (SELECT bucket FROM buckets WHERE bucket % 3 = 0)
+       SELECT CAST(b.bucket AS BIGINT) AS bucket FROM buckets b
+       WHERE NOT EXISTS (SELECT 1 FROM done d WHERE d.bucket = b.bucket)""",
+)
+def resume_filter(spark, sf_dir):
+    """On restart: process only buckets absent from the done-manifest
+    (left-anti join) — the exact-resume core (SURVEY.md §2.9)."""
+    buckets = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 64).alias("bucket"))
+        .distinct()
+    )
+    done = buckets.filter(F.col("bucket") % 3 == 0)
+    return buckets.join(done, "bucket", "left_anti").select(
+        F.col("bucket").cast("bigint")
+    )
+
+
+@op("repartition_urlhash", None)  # physical layout op → rows-only check
+def repartition_urlhash(spark, sf_dir):
+    """Explicit url-hash bucketing before inference; verified by bucket
+    histogram (layout itself isn't SQL-observable)."""
+    from glre_spark.operators.scans import pages_view
+    from glre_spark.pipeline import URL_BUCKETS, url_bucket
+
+    pages = pages_view(spark, sf_dir)
+    return (
+        pages.repartition(32, url_bucket(F.col("url")))
+        .withColumn("bucket", url_bucket(F.col("url")))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data dedup + ANN ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+              CAST(COUNT(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@op(
+    "dedup_ngram_jaccard",
+    """WITH d AS (
+         SELECT doc_id, n_chars,
+                list_distinct(list_transform(
+                  range(1, greatest(length(text) - 1, 2)),
+                  i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+         FROM documents
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4) + 0 AS jaccard
+       FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Pairwise 3-gram Jaccard within n_chars blocks (blocked near-dup
+    verify — the LSH verify-step shape)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _shingle_col(F.col("text")).alias("sh")
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("n_chars").alias("blk"), F.col("sh").alias("sh_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("blk"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            fround(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_ANN_CTES = """q AS (
+  SELECT UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pr AS (
+  SELECT d.vec_id, SUM(d.v * q.v) AS dot,
+         sqrt(SUM(d.v * d.v)) AS nd, sqrt(SUM(q.v * q.v)) AS nq
+  FROM d JOIN q USING (idx) GROUP BY d.vec_id
+)"""
+
+
+@op(
+    "ann_cosine_topk",
+    "WITH "
+    + _ANN_CTES
+    + """
+SELECT vec_id, ROUND(dot / (nd * nq) + 1e-9, 4) + 0 AS cos_sim
+FROM pr WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs vec 0 — the ANN baseline. Dot/norms via
+    zip_with + aggregate (JVM-side higher-order fns, no UDF)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    joined = emb.filter("vec_id <> 0").crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = fround(
+        dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        joined.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@op(
+    "ann_lsh_bucketed",
+    """SELECT concat(""" + ", ".join(
+        f"CASE WHEN embedding[{i}] > 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    ) + """) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_vectors
+       FROM embeddings GROUP BY 1""",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-bit (random-hyperplane flavor) LSH bucketing of embeddings —
+    the scale path: ANN candidates only within a bucket."""
+    e = F.col("embedding")
+    bucket = F.concat(
+        *[F.when(e.getItem(i) > 0, "1").otherwise("0") for i in range(8)]
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )
+
+
+@op("simhash_dedup", None)  # bit-twiddling hash → rows-only (pytest has a python oracle)
+def simhash_dedup(spark, sf_dir):
+    """64-bit SimHash per document via an Arrow-batched pandas UDF
+    (vectorized bit counting in numpy), grouped to find colliding docs."""
+    import numpy as np
+    import pandas as pd
+
+    def sim_batch(batches):
+        import hashlib as hl
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set((text or "").split(" "))
+                if toks:
+                    hs = np.array(
+                        [
+                            int.from_bytes(hl.md5(t.encode()).digest()[:8], "big")
+                            for t in toks
+                        ],
+                        dtype=np.uint64,
+                    )
+                    # (n_tok, 64) bit matrix → column sums → sign bits
+                    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc = np.where(bits == 1, 1, -1).sum(axis=0)
+                else:
+                    acc = np.full(64, -1)
+                sh = 0
+                for b in range(63):  # keep 63 bits: stay in signed int64
+                    if acc[b] > 0:
+                        sh |= 1 << b
+                out.append((int(doc_id), sh))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sims = docs.mapInPandas(sim_batch, "doc_id long, simhash long")
+    return (
+        sims.groupBy("simhash")
+        .agg(F.count("*").cast("bigint").alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GLRE pipeline ops (rows-only: non-SQL-expressible inference)
+# ---------------------------------------------------------------------------
+
+
+@op("glre_extract_text", None)
+def glre_extract_text(spark, sf_dir):
+    """Byte-identical extraction invariant, distributed: synthesize pages
+    (html + golden text) from the documents doc_ids, extract, compare."""
+    import pandas as pd
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.extract import extract_text_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = docs.repartition(16).mapInPandas(gen, PAGES_SCHEMA)
+    return pages.select(
+        "url",
+        (extract_text_udf(F.col("html")) == F.col("text")).alias("byte_identical"),
+    ).groupBy("byte_identical").agg(F.count("*").cast("bigint").alias("n_pages"))
+
+
+@op("glre_infer_triples", None)
+def glre_infer_triples(spark, sf_dir):
+    """The flagship KG pipeline end-to-end at sf_dir scale (rows-only)."""
+    import pandas as pd
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.pipeline import build_triples
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = docs.repartition(16).mapInPandas(gen, PAGES_SCHEMA)
+    return build_triples(spark, pages)

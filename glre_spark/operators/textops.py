@@ -1,0 +1,296 @@
+"""Scalar function surface — string/date/math/array/map/json (SURVEY.md
+§2.8) plus the training-data text-analysis ops (language-ID heuristic,
+quality scoring, token counting, fingerprinting) over the documents table.
+
+Everything here is pure built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glre_spark.operators import fround, load, op
+
+
+@op(
+    "str_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+       FROM documents""",
+)
+def str_normalize(spark, sf_dir):
+    c = F.lower(F.col("text"))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return load(spark, sf_dir, "documents").select("doc_id", c.alias("norm_text"))
+
+
+@op(
+    "str_split_tokens",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              string_split(text, ' ')[1] AS first_token
+       FROM documents""",
+)
+def str_split_tokens(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+    )
+
+
+@op(
+    "str_shingle",
+    """SELECT DISTINCT p_partkey, substr(p_name, CAST(i AS INTEGER), 3) AS shingle
+       FROM (SELECT p_partkey, p_name,
+                    UNNEST(range(1, greatest(length(p_name) - 1, 2))) AS i
+             FROM part)""",
+)
+def str_shingle(spark, sf_dir):
+    """Character 3-shingles via higher-order functions — the MinHash
+    front-end (SURVEY.md §2.8/§2.12)."""
+    name = F.col("p_name")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(name) - 2, F.lit(1))),
+        lambda i: name.substr(i, F.lit(3)),
+    )
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+@op(
+    "str_concat_fmt",
+    """SELECT c_custkey,
+              concat_ws('|', c_name, c_mktsegment) AS joined,
+              printf('%s#%05d', c_mktsegment, c_custkey) AS formatted
+       FROM customer""",
+)
+def str_concat_fmt(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.format_string("%s#%05d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
+            "formatted"
+        ),
+    )
+
+
+@op(
+    "hash_fns",
+    """SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256,
+              substr(md5(concat(text, ':salt')), 1, 8) AS salted_prefix
+       FROM documents""",
+)
+def hash_fns(spark, sf_dir):
+    """Stable cross-engine hashes (md5/sha256). xxhash64 is Spark-internal
+    (used for partitioning, §2.9) — correctness-checked hashes use md5."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.substring(F.md5(F.concat(F.col("text"), F.lit(":salt"))), 1, 8).alias(
+            "salted_prefix"
+        ),
+    )
+
+
+@op(
+    "date_fns",
+    """SELECT event_id,
+              date_trunc('day', ts) AS day_ts,
+              CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+              CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec
+       FROM events""",
+)
+def date_fns(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.unix_timestamp("ts").cast("bigint").alias("unix_sec"),
+    )
+
+
+@op(
+    "math_fns",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(abs(l_extendedprice - 1000) + 1e-9, 2) + 0 AS abs_diff,
+              ROUND(ln(l_extendedprice + 1) + 1e-9, 6) + 0 AS log_price,
+              ROUND(pow(l_discount, 2) + 1e-9, 6) + 0 AS disc_sq,
+              ROUND(1 / (1 + exp(-l_tax * 10)) + 1e-9, 6) + 0 AS sigmoid_tax
+       FROM lineitem""",
+)
+def math_fns(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fround(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
+        fround(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        fround(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        fround(1 / (1 + F.exp(-F.col("l_tax") * 10)), 6).alias("sigmoid_tax"),
+    )
+
+
+@op(
+    "arr_explode",
+    """SELECT vec_id,
+              CAST(UNNEST(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
+              ROUND(CAST(UNNEST(embedding) AS DOUBLE) + 1e-9, 4) + 0 AS val
+       FROM embeddings""",
+)
+def arr_explode(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("idx"),
+        fround(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+@op(
+    "arr_fns",
+    """SELECT vec_id,
+              CAST(len(embedding) AS BIGINT) AS dim,
+              ROUND(CAST(list_max(embedding) AS DOUBLE) + 1e-9, 4) + 0 AS max_v,
+              ROUND(CAST(list_min(embedding) AS DOUBLE) + 1e-9, 4) + 0 AS min_v,
+              CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+       FROM embeddings""",
+)
+def arr_fns(spark, sf_dir):
+    e = F.col("embedding")
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(e).cast("bigint").alias("dim"),
+        fround(F.array_max(e).cast("double"), 4).alias("max_v"),
+        fround(F.array_min(e).cast("double"), 4).alias("min_v"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+@op(
+    "map_fns",
+    """SELECT event_id,
+              map_keys(MAP {'type': event_type})[1] AS only_key,
+              element_at(MAP {'type': event_type}, 'type')[1] AS type_via_map
+       FROM events""",
+)
+def map_fns(spark, sf_dir):
+    m = F.create_map(F.lit("type"), F.col("event_type"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("only_key"),
+        F.element_at(m, F.lit("type")).alias("type_via_map"),
+    )
+
+
+@op(
+    "json_fns",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+       FROM events""",
+)
+def json_fns(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+@op(
+    "text_token_count",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_ish_tokens
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("bigint").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@op(
+    "text_quality_score",
+    f"""SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+                          AS DOUBLE) / len(string_split(text, ' ')) + 1e-9, 4) + 0 AS stopword_ratio,
+               ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+                     + CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+                            AS DOUBLE) / len(string_split(text, ' ')) * 0.5 + 1e-9, 4) + 0 AS quality
+        FROM documents""",
+)
+def text_quality_score(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    ratio = fround(stop.cast("double") / F.size(toks), 4)
+    quality = fround(
+        F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+        + stop.cast("double") / F.size(toks) * 0.5,
+        4,
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@op(
+    "text_langid",
+    f"""SELECT doc_id, lang AS lang_declared,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                              t -> t IN {_STOPWORDS})) AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.02
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents""",
+)
+def text_langid(spark, sf_dir):
+    """Stopword-density language-ID heuristic (the real corpus carries a
+    lang column; this is the detector for when it doesn't)."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    pred = F.when(stop.cast("double") / F.size(toks) > 0.02, "en").otherwise("other")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred")
+    )
+
+
+@op(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                  AS fingerprint
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (sorted-distinct-token md5) —
+    the canonical-form near-dup key."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", fp.alias("fingerprint"))

@@ -222,14 +222,27 @@ def entity_key(name: str) -> str:
     return "Q" + hashlib.sha256(name.encode()).hexdigest()[:12]
 
 
+def norm_alias(s: str) -> str:
+    """Python twin of linking.norm_name (lower → punctuation to spaces →
+    collapse) — the two MUST stay in lockstep or aliases stop linking."""
+    import re
+
+    return re.sub(r"[^0-9a-z]+", " ", s.lower()).strip()
+
+
 def alias_rows() -> list[dict]:
     rows = []
+    seen = set()
     for name, typ, aliases in ENTITIES:
         key = entity_key(name)
         for alias in [name, *aliases]:
+            norm = norm_alias(alias)
+            if norm in seen:
+                continue
+            seen.add(norm)
             rows.append(
                 {
-                    "alias_norm": " ".join(alias.lower().split()),
+                    "alias_norm": norm,
                     "entity_key": key,
                     "canonical_name": name,
                     "type": typ,

@@ -154,10 +154,23 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+# Dense (type_h, type_t) → relation-gate mask lookup for the vectorized
+# pair loop. Types indexed once; mask[ti, tj] is a bool vector over REL_IDS.
+_TYPES = ["PER", "ORG", "LOC", "TIME", "NUM", "MISC"]
+_TYPE_IDX = {t: i for i, t in enumerate(_TYPES)}
+_GATE_MASK = np.zeros((len(_TYPES), len(_TYPES), len(REL_IDS)), dtype=bool)
+for (_th, _tt), _idxs in TYPE_GATE.items():
+    _GATE_MASK[_TYPE_IDX[_th], _TYPE_IDX[_tt], _idxs] = True
+
+
 class GLREModel:
     """Frozen deterministic GLRE. ``predict(doc)`` → list of
     (h, t, rel_id, score) with score > θ, one (argmax) relation per ordered
-    entity pair, gated by entity-type compatibility."""
+    entity pair, gated by entity-type compatibility.
+
+    The pair stage is fully vectorized: all candidate pairs of a document
+    are scored in one batched numpy pass (local attention via padded
+    per-entity mention tensors + masks) — no per-pair Python."""
 
     def __init__(self, weights: dict[str, np.ndarray], threshold: float = SCORE_THRESHOLD):
         self.w = weights
@@ -178,29 +191,64 @@ class GLREModel:
         first_sent = np.array(
             [doc.mentions[c[0]].sent_id for c in doc.entities], dtype=np.int64
         )
-        out: list[tuple[int, int, str, float]] = []
-        for h in range(ne):
-            for t in range(ne):
-                if h == t:
-                    continue
-                gate = TYPE_GATE.get((doc.entity_types[h], doc.entity_types[t]))
-                if gate is None:
-                    continue
-                pair_q = np.concatenate([ent_g[h], ent_g[t]])
-                l_h = local_repr(w, pair_q, ment_g[doc.entities[h]])
-                l_t = local_repr(w, pair_q, ment_g[doc.entities[t]])
-                dist = min(abs(int(first_sent[h]) - int(first_sent[t])), N_DIST - 1)
-                feat = np.concatenate(
-                    [ent_g[h], l_h, ent_g[t], l_t, ctx, w["dist"][dist]]
-                )
-                hid = np.maximum(feat @ w["ff1_w"] + w["ff1_b"], 0.0)
-                logits = hid @ w["ff2_w"] + w["ff2_b"]
-                probs = _sigmoid(logits[gate])
-                best = int(np.argmax(probs))
-                score = float(probs[best])
-                if score > self.threshold:
-                    out.append((h, t, REL_IDS[int(gate[best])], score))
-        return out
+        type_idx = np.array([_TYPE_IDX[t] for t in doc.entity_types], dtype=np.int64)
+
+        # candidate ordered pairs with a non-empty type gate
+        hh, tt = np.meshgrid(np.arange(ne), np.arange(ne), indexing="ij")
+        hh, tt = hh.ravel(), tt.ravel()
+        keep = hh != tt
+        gate_mask = _GATE_MASK[type_idx[hh], type_idx[tt]]        # (ne², R)
+        keep &= gate_mask.any(axis=1)
+        hh, tt, gate_mask = hh[keep], tt[keep], gate_mask[keep]
+        if hh.size == 0:
+            return []
+
+        # padded per-entity mention tensor: (ne, M, D) + mask
+        M = max(len(c) for c in doc.entities)
+        ment_pad = np.zeros((ne, M, D), dtype=np.float32)
+        ment_msk = np.zeros((ne, M), dtype=bool)
+        for e, cluster in enumerate(doc.entities):
+            ment_pad[e, : len(cluster)] = ment_g[cluster]
+            ment_msk[e, : len(cluster)] = True
+
+        dh = D // HEADS
+        pair_q = np.concatenate([ent_g[hh], ent_g[tt]], axis=1)   # (P, 2D)
+        q = (pair_q @ w["mha_q"]).reshape(-1, HEADS, dh)          # (P, H, dh)
+        k = (ment_pad @ w["mha_k"]).reshape(ne, M, HEADS, dh)
+        v = (ment_pad @ w["mha_v"]).reshape(ne, M, HEADS, dh)
+
+        def batched_local(ent_idx: np.ndarray) -> np.ndarray:
+            """i9 for all pairs at once, one entity role: (P, D)."""
+            ke, ve, me = k[ent_idx], v[ent_idx], ment_msk[ent_idx]
+            scores = np.einsum("phd,pmhd->phm", q, ke) / np.sqrt(dh)
+            scores = np.where(me[:, None, :], scores, -np.inf)
+            att = _softmax(scores, axis=2)
+            return np.einsum("phm,pmhd->phd", att, ve).reshape(-1, D) @ w["mha_o"]
+
+        l_h = batched_local(hh)
+        l_t = batched_local(tt)
+        dist = np.minimum(np.abs(first_sent[hh] - first_sent[tt]), N_DIST - 1)
+        feat = np.concatenate(
+            [
+                ent_g[hh],
+                l_h,
+                ent_g[tt],
+                l_t,
+                np.broadcast_to(ctx, (hh.size, D)),
+                w["dist"][dist],
+            ],
+            axis=1,
+        )
+        hid = np.maximum(feat @ w["ff1_w"] + w["ff1_b"], 0.0)
+        logits = hid @ w["ff2_w"] + w["ff2_b"]                    # (P, R)
+        probs = np.where(gate_mask, _sigmoid(logits), -1.0)
+        best = probs.argmax(axis=1)
+        score = probs[np.arange(hh.size), best]
+        emit = score > self.threshold
+        return [
+            (int(h), int(t), REL_IDS[int(b)], float(s))
+            for h, t, b, s in zip(hh[emit], tt[emit], best[emit], score[emit])
+        ]
 
 
 def infer_doc(model: GLREModel, url: str, text: str) -> list[dict]:

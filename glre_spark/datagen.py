@@ -65,6 +65,50 @@ ENTITIES: list[tuple[str, str, list[str]]] = [
 
 HEAD_ENTITY = "United States"  # seeded skew target
 
+# Programmatic vocabulary extension (deterministic, index-based): grows the
+# entity space ~10× so the distinct-triple space scales with the corpus
+# instead of saturating (important for the KG and the throughput bench).
+_FIRST = ["Liam", "Noah", "Olivia", "Ava", "Ethan", "Mia", "Lucas", "Zoe",
+          "Mason", "Isla", "Leo", "Nora", "Owen", "Ruby", "Eli", "Ivy",
+          "Finn", "Ada", "Hugo", "Elsa"]
+_LAST = ["Anderson", "Bennett", "Carter", "Dawson", "Ellis", "Foster",
+         "Griffin", "Hayes", "Ingram", "Jenkins", "Keller", "Lawson",
+         "Mercer", "Norris", "Osborne", "Parker", "Quinn", "Reeves",
+         "Sutton", "Turner"]
+_ORG_A = ["Apex", "Borealis", "Cascade", "Delta", "Ember", "Fulcrum",
+          "Granite", "Horizon", "Ion", "Juniper", "Krypton", "Lumen",
+          "Meridian", "Nimbus", "Onyx", "Pinnacle"]
+_ORG_B = ["Analytics", "Dynamics", "Holdings", "Logistics", "Networks",
+          "Robotics", "Systems", "Ventures"]
+_LOC_A = ["Port", "Lake", "Mount", "Fort", "New", "East", "West", "North"]
+_LOC_B = ["Alder", "Briar", "Cedar", "Dorset", "Elm", "Fenwick", "Garnet",
+          "Hollow", "Iris", "Juniper"]
+
+
+def _extended_entities() -> list[tuple[str, str, list[str]]]:
+    out: list[tuple[str, str, list[str]]] = []
+    for i in range(160):
+        f, l = _FIRST[i % 20], _LAST[(i // 20 + i) % 20]
+        name = f"{f} {l}"
+        out.append((name, "PER", [f"{f[0]}. {l}"] if i % 3 == 0 else []))
+    for i in range(96):
+        a, b = _ORG_A[i % 16], _ORG_B[(i // 16) % 8]
+        out.append((f"{a} {b}", "ORG", [a] if i % 4 == 0 and i < 64 else []))
+    for i in range(72):
+        a, b = _LOC_A[i % 8], _LOC_B[(i // 8) % 10]
+        out.append((f"{a} {b}", "LOC", []))
+    # drop collisions with the curated list or within the generated set
+    seen = {n for n, _, _ in ENTITIES}
+    uniq = []
+    for name, typ, al in out:
+        if name not in seen:
+            seen.add(name)
+            uniq.append((name, typ, al))
+    return uniq
+
+
+ENTITIES = ENTITIES + _extended_entities()
+
 YEARS = ["1984", "1999", "2008", "2015", "2020", "2023"]
 
 # Sentence templates: {P}=person {O}=org {L}=loc {Y}=year.
@@ -98,11 +142,14 @@ def _pick(rng: random.Random, typ: str) -> str:
     return pool[rng.randrange(len(pool))]
 
 
-def doc_text(doc_id: int, seed: int = 42) -> tuple[str, list[str]]:
+def doc_text(
+    doc_id: int, seed: int = 42, sent_range: tuple[int, int] = (2, 8)
+) -> tuple[str, list[str]]:
     """Return (text, sentences). Text = sentences joined by single spaces —
-    fully whitespace-normalized, so the extractor's collapse is identity."""
+    fully whitespace-normalized, so the extractor's collapse is identity.
+    ``sent_range`` sizes documents (bench uses longer, webpage-like docs)."""
     rng = _rng(seed, doc_id)
-    n_sents = rng.randint(2, 8)
+    n_sents = rng.randint(*sent_range)
     sents = []
     use_head = rng.random() < 0.20  # head-entity skew
     for i in range(n_sents):
@@ -177,8 +224,10 @@ def render_html(url: str, sents: list[str], seed: int, doc_id: int) -> bytes:
     return page.encode("utf-8")
 
 
-def gen_page_row(doc_id: int, seed: int = 42) -> dict:
-    text, sents = doc_text(doc_id, seed)
+def gen_page_row(
+    doc_id: int, seed: int = 42, sent_range: tuple[int, int] = (2, 8)
+) -> dict:
+    text, sents = doc_text(doc_id, seed, sent_range)
     url = doc_url(doc_id)
     return {
         "url": url,
@@ -189,14 +238,20 @@ def gen_page_row(doc_id: int, seed: int = 42) -> dict:
     }
 
 
-def gen_pages(n_docs: int, seed: int = 42) -> list[dict]:
-    return [gen_page_row(i, seed) for i in range(n_docs)]
+def gen_pages(n_docs: int, seed: int = 42, sent_range: tuple[int, int] = (2, 8)) -> list[dict]:
+    return [gen_page_row(i, seed, sent_range) for i in range(n_docs)]
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def pages_df(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    sent_range: tuple[int, int] = (2, 8),
+):
     """Distributed generation: parallelize doc_ids, generate per-partition
     inside mapInPandas — scales to any n_docs without driver materialize."""
     import pandas as pd
@@ -205,7 +260,7 @@ def pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
 
     def gen(batches):
         for pdf in batches:
-            rows = [gen_page_row(int(i), seed) for i in pdf["id"]]
+            rows = [gen_page_row(int(i), seed, sent_range) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

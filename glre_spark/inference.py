@@ -45,19 +45,61 @@ def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
     )
 
 
-def infer_stage(df: DataFrame, weights_bc=None, text_col: str = "text") -> DataFrame:
-    """(…, url, text) → predictions (url, h, t, names, types, r, score)."""
-    from glre_spark.model.net import infer_doc  # local import: ships via --py-files
+def infer_stage(
+    df: DataFrame, weights_bc=None, text_col: str = "text", extract_html: bool = False
+) -> DataFrame:
+    """(…, url, text|html) → predictions (url, h, t, names, types, r, score).
+
+    With ``extract_html=True`` the i1 extraction step runs INSIDE this same
+    Arrow stage (SURVEY.md §2.11: i1-i12 are one fused mapInPandas) — html
+    crosses the JVM↔Python boundary exactly once and no intermediate text
+    column is shuffled."""
+    from glre_spark.extract import extract_text
+    from glre_spark.nlp import analyze
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model(weights_bc.value if weights_bc is not None else None)
         for pdf in batches:
-            rows: list[dict] = []
-            for url, text in zip(pdf["url"], pdf["text"]):
-                rows.extend(infer_doc(model, url, text or ""))
-            yield _rows_to_pdf(rows)
+            # column-wise accumulation: at ~150 predictions/doc the emit
+            # path would otherwise allocate millions of per-row dicts per
+            # partition — pure GC churn under high worker concurrency
+            cols: dict[str, list] = {c: [] for c in PRED_COLS}
+            if extract_html:
+                texts = (extract_text(h) for h in pdf["html"])
+            else:
+                texts = (t or "" for t in pdf["text"])
+            for url, text in zip(pdf["url"], texts):
+                doc = analyze(url, text)
+                preds = model.predict(doc)
+                if not preds:
+                    continue
+                names, types = doc.entity_names, doc.entity_types
+                cols["url"].extend([url] * len(preds))
+                for h, t, rel, score in preds:
+                    cols["h"].append(h)
+                    cols["t"].append(t)
+                    cols["h_name"].append(names[h])
+                    cols["t_name"].append(names[t])
+                    cols["h_type"].append(types[h])
+                    cols["t_type"].append(types[t])
+                    cols["r"].append(rel)
+                    cols["score"].append(round(score, 6))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(cols["url"], dtype="object"),
+                    "h": pd.Series(cols["h"], dtype=np.int32),
+                    "t": pd.Series(cols["t"], dtype=np.int32),
+                    "h_name": pd.Series(cols["h_name"], dtype="object"),
+                    "t_name": pd.Series(cols["t_name"], dtype="object"),
+                    "h_type": pd.Series(cols["h_type"], dtype="object"),
+                    "t_type": pd.Series(cols["t_type"], dtype="object"),
+                    "r": pd.Series(cols["r"], dtype="object"),
+                    "score": pd.Series(cols["score"], dtype=np.float64),
+                }
+            )
 
-    return df.select("url", df[text_col].alias("text")).mapInPandas(fn, PRED_SCHEMA)
+    cols = ["url", df["html"]] if extract_html else ["url", df[text_col].alias("text")]
+    return df.select(*cols).mapInPandas(fn, PRED_SCHEMA)
 
 
 def broadcast_weights(spark, seed: int = MODEL_SEED):

@@ -183,9 +183,14 @@ def canonicalize(named: DataFrame, cluster_col: str = "component", name_col: str
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
-    """Exact (subj, pred, obj) dedup keeping max score + a witness url."""
+    """Exact (subj, pred, obj) dedup keeping max score + a witness url.
+    n_sources = number of contributing prediction rows (pre-aggregated
+    upstream counts are summed when present)."""
+    n_sources = (
+        F.sum("n_pred_rows") if "n_pred_rows" in triples.columns else F.count("*")
+    )
     return triples.groupBy("subj", "pred", "obj").agg(
         F.max("score").alias("score"),
         F.min("url").alias("url"),
-        F.count("*").alias("n_sources"),
+        n_sources.cast("bigint").alias("n_sources"),
     )

@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
             scans,
             sets_sorts,
             textops,
+            udfops,
             windows_ops,
         )
 

@@ -1,0 +1,132 @@
+"""Pandas-UDF surface operators (SURVEY.md §2.11 udf_*): grouped-map
+(applyInPandas), grouped-agg, and the nested DocRED JSON scan. These are
+the operator-level proofs of the UDF patterns the inference stage uses."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from glre_spark.operators import load, op
+
+
+@op(
+    "udf_grouped_map",
+    # SQL twin: identical semantics to the relational blocked-jaccard
+    """WITH d AS (
+         SELECT doc_id, n_chars,
+                list_distinct(list_transform(
+                  range(1, greatest(length(text) - 1, 2)),
+                  i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+         FROM documents
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4) + 0 AS jaccard
+       FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+)
+def udf_grouped_map(spark, sf_dir):
+    """groupBy(block).applyInPandas — per-LSH-block pairwise verification
+    in vectorized pandas (the §2.12 verify-step as a grouped-map UDF)."""
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        docs = sorted(zip(pdf["doc_id"], pdf["text"]))
+        shs = [
+            (i, {t[k : k + 3] for k in range(max(len(t) - 2, 1))})
+            for i, t in docs
+        ]
+        for x in range(len(shs)):
+            for y in range(x + 1, len(shs)):
+                ia, sa = shs[x]
+                ib, sb = shs[y]
+                j = len(sa & sb) / len(sa | sb)
+                rows.append((int(ia), int(ib), round(j + 1e-9, 4) + 0))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    return docs.groupBy("n_chars").applyInPandas(
+        block_pairs, "id_a long, id_b long, jaccard double"
+    )
+
+
+@op(
+    "udf_grouped_agg",
+    """SELECT user_id,
+              ROUND(sqrt(SUM(value * value) / COUNT(*)) + 1e-9, 4) + 0 AS rms_value
+       FROM events GROUP BY user_id""",
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (custom UDAF surface): per-user RMS."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        return float(np.sqrt((v * v).sum() / len(v)))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (F.round(rms("value") + F.lit(1e-9), 4) + F.lit(0.0)).alias("rms_value")
+    )
+
+
+@op("scan_docred_json", None)  # nested ingest → rows-only
+def scan_docred_json(spark, sf_dir):
+    """DocRED-format nested JSON ingest (SURVEY.md §2.1): the corpus
+    rendered as {title, sents, vertexSet, labels} rows, read back with an
+    explicit nested schema and flattened to per-label rows."""
+    import json
+    import tempfile
+
+    from glre_spark.datagen import gen_pages
+    from glre_spark.model import GLREModel, build_weights
+    from glre_spark.model.net import infer_doc
+    from glre_spark.nlp import analyze
+
+    model = GLREModel(build_weights())
+    docs = []
+    for p in gen_pages(40):
+        doc = analyze(p["url"], p["text"])
+        preds = infer_doc(model, p["url"], p["text"])
+        docs.append(
+            {
+                "title": p["url"],
+                "sents": doc.sents,
+                "vertexSet": [
+                    [
+                        {
+                            "name": doc.mentions[mi].name,
+                            "sent_id": doc.mentions[mi].sent_id,
+                            "pos": [doc.mentions[mi].start, doc.mentions[mi].end],
+                            "type": doc.mentions[mi].type,
+                        }
+                        for mi in cluster
+                    ]
+                    for cluster in doc.entities
+                ],
+                "labels": [
+                    {"h": r["h"], "t": r["t"], "r": r["r"], "evidence": []}
+                    for r in preds
+                ],
+            }
+        )
+    tmp = tempfile.mkdtemp(prefix="docred_")
+    with open(f"{tmp}/docred.json", "w") as f:
+        json.dump(docs, f)
+    schema = (
+        "title string, sents array<array<string>>, "
+        "vertexSet array<array<struct<name:string, sent_id:int, pos:array<int>, type:string>>>, "
+        "labels array<struct<h:int, t:int, r:string, evidence:array<int>>>"
+    )
+    df = spark.read.json(f"{tmp}/docred.json", schema=schema, multiLine=True)
+    return (
+        df.select("title", F.explode_outer("labels").alias("l"))
+        .select(
+            "title",
+            F.col("l.h").alias("h"),
+            F.col("l.t").alias("t"),
+            F.col("l.r").alias("r"),
+        )
+    )

@@ -40,38 +40,57 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
 
 def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True,
                   partitions: int | None = None) -> DataFrame:
-    """Filter, dedup recrawls, repartition on url-hash, extract text."""
+    """Filter, dedup recrawls, repartition on url-hash. Text extraction is
+    NOT done here — it is fused into the inference Arrow stage
+    (inference.infer_stage(extract_html=True)) so the pipeline has exactly
+    one Python stage. With ``use_extractor`` the html column is carried
+    through; otherwise the trusted text column is (and html is pruned from
+    the scan by Catalyst)."""
     df = (
         pages.filter(F.col("lang") == lang)
         .filter(F.length("text").between(1, MAX_DOC_CHARS))
     )
     df = latest_per_url(df)
+    # latest_per_url's window already exchanged rows by hash(url) — that IS
+    # the explicit url-hash partitioning the north rule asks for. A second
+    # repartition("bucket") here would re-shuffle the fat html rows for
+    # nothing; `bucket` stays as the deterministic lineage-key COLUMN
+    # (resume filtering), decoupled from physical task count. Pass
+    # ``partitions`` only to force a different fan-out (e.g. tiny corpus on
+    # a big cluster).
     df = df.withColumn("bucket", url_bucket())
     if partitions:
         df = df.repartition(partitions, "bucket")
-    else:
-        df = df.repartition("bucket")
-    if use_extractor:
-        from glre_spark.extract import extract_text_udf
-
-        df = df.withColumn("text", extract_text_udf(F.col("html")))
-    return df.select("url", "warc_ts", "text", "lang", "bucket")
+    payload = "html" if use_extractor else "text"
+    return df.select("url", "warc_ts", payload, "lang", "bucket")
 
 
 def predictions_to_triples(preds: DataFrame, alias_df: DataFrame) -> DataFrame:
     """Link head/tail names through the alias dictionary and assemble
-    (subj, pred, obj) rows. Two broadcast joins — no shuffle."""
+    (subj, pred, obj) rows.
+
+    Aggregate-early design: predictions are first collapsed to distinct
+    (h_name, r, t_name) with map-side partial aggregation — at web scale
+    the prediction stream is orders of magnitude larger than the distinct
+    surface-triple space, so the two broadcast joins (and their per-row
+    normalization regexes) run on the collapsed table, not the stream."""
+    agg = preds.groupBy("h_name", "r", "t_name").agg(
+        F.max("score").alias("score"),
+        F.min("url").alias("url"),
+        F.count("*").alias("n_pred_rows"),
+    )
     linked_h = link_aliases(
-        preds.withColumnRenamed("h_name", "name"), alias_df
+        agg.withColumnRenamed("h_name", "name"), alias_df
     ).select(
         F.col("url"), F.col("t_name"), F.col("r"), F.col("score"),
-        F.col("canonical_name").alias("subj"),
+        F.col("n_pred_rows"), F.col("canonical_name").alias("subj"),
     )
     linked = link_aliases(
         linked_h.withColumnRenamed("t_name", "name"), alias_df
     ).select(
         F.col("url"), F.col("subj"), F.col("r").alias("pred"),
         F.col("canonical_name").alias("obj"), F.col("score"),
+        F.col("n_pred_rows"),
     )
     return linked
 
@@ -80,6 +99,8 @@ def build_triples(spark: SparkSession, pages: DataFrame,
                   use_extractor: bool = True, partitions: int | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduped triples."""
     docs = prepare_pages(pages, use_extractor=use_extractor, partitions=partitions)
-    preds = infer_stage(docs, weights_bc=broadcast_weights(spark))
+    preds = infer_stage(
+        docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor
+    )
     triples = predictions_to_triples(preds, alias_dict_df(spark))
     return dedup_triples(triples)

@@ -33,6 +33,13 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # One BLAS thread per Python worker: N workers × multi-threaded
+    # OpenBLAS/MKL oversubscribes the box quadratically and *anti*-scales
+    # (measured 2.3× slower at local[32] than local[8] before this).
+    # Python workers inherit the env the JVM was launched with → set both.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -46,9 +53,21 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # Shuffle spill dir on tmpfs: local-mode shuffles write
+        # tasks×partitions small files; on this VM's slow disk that
+        # serializes high-parallelism runs (measured 32-core slower than
+        # 8-core before this). Harmless on a real cluster (override via
+        # SPARK_GRAFT_LOCAL_DIR or spark-submit conf).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -144,25 +144,121 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)  # compute candidate edges once
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id"))
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
         # candidate label for dst = min over neighbors' labels (+ own)
-        prop = (
+        labels = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("component"))
             .unionByName(labels)
             .groupBy("id")
-            .agg(F.min("component").alias("new_component"))
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # truncate lineage, one execution
         )
-        joined = labels.join(prop, "id")
-        changed = joined.filter(F.col("new_component") < F.col("component")).limit(1)
-        labels = joined.select(
-            "id", F.least("component", "new_component").alias("component")
-        ).localCheckpoint(eager=True)
-        if changed.isEmpty():
+        # monotone convergence probe on the checkpointed result: the label
+        # sum strictly decreases until fixpoint (labels only shrink)
+        s = labels.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Cross-document entity clustering (north_star: "MinHash-LSH blocking …
+# merge cross-document entity clusters"): near-duplicate surface names →
+# LSH candidate pairs → Jaccard verify → connected components → one
+# canonical name per cluster.
+# ---------------------------------------------------------------------------
+
+MAX_LSH_BLOCK = 64  # cap candidate-block size; oversized blocks are logged
+                    # and dropped (quadratic pair blowup guard, SURVEY M4)
+
+
+def cluster_names(
+    names: DataFrame,
+    name_col: str = "name",
+    weight_col: str | None = None,
+    jaccard_threshold: float = 0.85,
+    max_block: int = MAX_LSH_BLOCK,
+) -> DataFrame:
+    """(name [, weight]) → (name, cluster_name) mapping for near-duplicate
+    names. Pure DataFrame ops: shingle → MinHash → LSH bands → capped
+    block self-join → Jaccard verify → connected components (by dense
+    name id) → canonical pick (max weight, tie → lexicographic)."""
+    w = (
+        names.groupBy(name_col).agg(F.sum(weight_col).alias("_w"))
+        if weight_col
+        else names.select(name_col).distinct().withColumn("_w", F.lit(1))
+    )
+    ided = w.withColumn(
+        "_id", F.dense_rank().over(Window.orderBy(name_col)).cast("bigint")
+    ).withColumn("_sh", shingles(norm_name(F.col(name_col))))
+    sig = ided.withColumn("_sig", minhash_signature(F.col("_sh")))
+    bands = sig.select(
+        "_id", "_sh", F.explode(lsh_bands(F.col("_sig"))).alias("band")
+    )
+    # block-size cap
+    sizes = bands.groupBy("band").agg(F.count("*").alias("bn"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bn") <= max_block).select("band")), "band"
+    )
+    a = bands.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("_j") >= jaccard_threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comps = connected_components(pairs)  # only ids that appear in edges
+    labeled = ided.join(comps, ided._id == comps.id, "left").select(
+        F.col(name_col),
+        F.col("_w"),
+        F.coalesce(F.col("component"), F.col("_id")).alias("_comp"),
+    )
+    wrep = Window.partitionBy("_comp").orderBy(F.desc("_w"), F.asc(name_col))
+    reps = (
+        labeled.withColumn("_rk", F.row_number().over(wrep))
+        .filter("_rk = 1")
+        .select("_comp", F.col(name_col).alias("cluster_name"))
+    )
+    return labeled.join(reps, "_comp").select(
+        F.col(name_col).alias("name"), F.col("cluster_name")
+    )
+
+
+def apply_name_clusters(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the (name → cluster_name) mapping (broadcast)
+    and re-dedup."""
+    m_subj = mapping.select(
+        F.col("name").alias("subj"), F.col("cluster_name").alias("_subj_c")
+    )
+    m_obj = mapping.select(
+        F.col("name").alias("obj"), F.col("cluster_name").alias("_obj_c")
+    )
+    out = (
+        triples.join(F.broadcast(m_subj), "subj", "left")
+        .join(F.broadcast(m_obj), "obj", "left")
+        .select(
+            F.coalesce("_subj_c", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("_obj_c", "obj").alias("obj"),
+            F.col("score"),
+            F.col("url"),
+            F.col("n_sources").alias("n_pred_rows"),
+        )
+    )
+    return dedup_triples(out)
 
 
 # ---------------------------------------------------------------------------

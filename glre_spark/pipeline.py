@@ -96,11 +96,26 @@ def predictions_to_triples(preds: DataFrame, alias_df: DataFrame) -> DataFrame:
 
 
 def build_triples(spark: SparkSession, pages: DataFrame,
-                  use_extractor: bool = True, partitions: int | None = None) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → deduped triples."""
+                  use_extractor: bool = True, partitions: int | None = None,
+                  cluster_entities: bool = False) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → deduped triples.
+
+    ``cluster_entities=True`` adds the cross-document entity-cluster merge
+    (MinHash-LSH blocking + connected components over near-duplicate
+    names, linking.cluster_names) after the alias join — off by default in
+    benches because the dictionary already canonicalizes this corpus."""
+    from glre_spark.linking import apply_name_clusters, cluster_names
+
     docs = prepare_pages(pages, use_extractor=use_extractor, partitions=partitions)
     preds = infer_stage(
         docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor
     )
     triples = predictions_to_triples(preds, alias_dict_df(spark))
-    return dedup_triples(triples)
+    deduped = dedup_triples(triples)
+    if cluster_entities:
+        names = deduped.select(F.col("subj").alias("name"), F.col("n_sources")).unionByName(
+            deduped.select(F.col("obj").alias("name"), F.col("n_sources"))
+        )
+        mapping = cluster_names(names, weight_col="n_sources")
+        deduped = apply_name_clusters(deduped, mapping)
+    return deduped

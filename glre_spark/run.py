@@ -31,11 +31,16 @@ def main(argv: list[str] | None = None) -> int:
     from glre_spark.lineage import read_manifest, read_triples, run_with_checkpoints
     from glre_spark.session import get_spark
 
+    import os
+
+    from glre_spark.io import entity_table, sink_entities
+
     spark = get_spark("glre_spark_run", cores=args.cores)
     t0 = time.time()
     pages = pages_df(spark, args.n_docs, seed=args.seed)
     run_id = run_with_checkpoints(spark, pages, args.out, n_groups=args.groups)
     triples = read_triples(spark, args.out)
+    sink_entities(spark, entity_table(triples), os.path.join(args.out, "entities"))
     n = triples.count()
     wall = time.time() - t0
     manifest = read_manifest(spark, args.out)

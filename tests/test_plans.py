@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2): the optimizations we
+rely on must actually appear in the plan — filter/column pushdown to the
+parquet scan, broadcast joins for dims, no Python UDFs in relational ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glre_spark.operators import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: scan schema must not include unprojected columns
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in scan_schema
+    assert "l_orderkey" in scan_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    fn, _ = REGISTRY["join_broadcast"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    fn, _ = REGISTRY["join_salted_skew"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_relational_ops_have_no_python_udfs(spark):
+    """Every SQL✓ operator must stay JVM-side (whole-stage codegen),
+    never fall into ArrowEvalPython/BatchEvalPython."""
+    exceptions = {"udf_grouped_map", "udf_grouped_agg"}  # UDF surface ops
+    for name, (fn, sql) in sorted(REGISTRY.items()):
+        if sql is None or name in exceptions:
+            continue
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} plan contains a Python stage"
+        )
+
+
+def test_aggregate_early_before_linking(spark):
+    """predictions_to_triples must aggregate before its joins: the plan
+    should show HashAggregate below the first BroadcastHashJoin."""
+    from glre_spark.datagen import pages_df
+    from glre_spark.pipeline import build_triples
+
+    df = build_triples(spark, pages_df(spark, 50, partitions=2))
+    plan = plan_of(df)
+    tree = plan.splitlines()
+    join_line = next(i for i, l in enumerate(tree) if "BroadcastHashJoin" in l)
+    # an Aggregate must appear BELOW the join in the tree (= its child):
+    # the prediction stream is collapsed before linking
+    assert any(
+        "Aggregate" in l for l in tree[join_line:]
+    ), "no aggregate below the linking join"
+    # partial + final agg pair around an Exchange (map-side combine), plus
+    # the final dedup aggregate → ≥3 Aggregate operators in total
+    assert sum(("HashAggregate" in l) or ("SortAggregate" in l) for l in tree) >= 3
+    # exactly two Python stages: corpus gen + the fused inference stage
+    assert sum("MapInPandas" in l for l in tree if "(" in l) >= 2
+    assert "WindowGroupLimit" in plan  # as-of top-1 pushed below the shuffle

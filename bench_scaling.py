@@ -19,23 +19,24 @@ import sys
 REPO = pathlib.Path(__file__).parent
 
 
-def run(cores: int, n_docs: int) -> dict:
+PAGES_PATH = "/dev/shm/glre_bench_pages"
+
+
+def _sub(args: list[str]) -> dict:
     out = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "glre_spark.bench_scaling",
-            "--cores",
-            str(cores),
-            "--n-docs",
-            str(n_docs),
-        ],
+        [sys.executable, "-m", "glre_spark.bench_scaling", *args],
         cwd=REPO,
         capture_output=True,
         text=True,
         check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run(cores: int, n_docs: int) -> dict:
+    return _sub(
+        ["--cores", str(cores), "--n-docs", str(n_docs), "--pages", PAGES_PATH]
+    )
 
 
 def main() -> int:
@@ -49,14 +50,16 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=4, help="small cluster size N (large = 4N)")
     args = ap.parse_args()
 
+    _sub(["--materialize", PAGES_PATH, "--n-docs", str(args.n_docs)])
     lo = run(args.n, args.n_docs)
     hi = run(args.n * 4, args.n_docs)
     eff = hi["triples_per_sec"] / (4 * lo["triples_per_sec"])
 
     md = f"""# BENCH — scaling efficiency (N vs 4N)
 
-Protocol (BASELINE.md): identical flagship job (synthesize pages →
-extract_text → GLRE inference → linking → dedup → count) on identical
+Protocol (BASELINE.md): identical flagship job (scan the materialized
+pages table → filter → as-of dedup → fused extract+GLRE inference →
+linking → dedup → count) on identical
 input ({args.n_docs} webpage-length docs (12-28 sentences), {64} input
 splits, {64} shuffle partitions), fresh JVM per level, same-shape warmup
 excluded from the measured window, min of 3 measured runs per level.
@@ -69,10 +72,10 @@ N-vs-4N this box can express without conflating host contention with job
 scaling. All levels use identical input splits and shuffle partitioning,
 so the plan is cluster-size independent (the real-cluster requirement).
 
-| level | cores | wall_s | docs/sec | triples/sec |
-| --- | --- | --- | --- | --- |
-| N | {lo['cores']} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['triples_per_sec']} |
-| 4N | {hi['cores']} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |
+| level | cores | wall_s (min) | all runs | docs/sec | triples/sec |
+| --- | --- | --- | --- | --- | --- |
+| N | {lo['cores']} | {lo['wall_s']} | {lo['walls_all']} | {lo['docs_per_sec']} | {lo['triples_per_sec']} |
+| 4N | {hi['cores']} | {hi['wall_s']} | {hi['walls_all']} | {hi['docs_per_sec']} | {hi['triples_per_sec']} |
 
 **Scaling efficiency = rate_4N / (4 × rate_N) = {eff:.3f}** (target ≥ 0.8)
 

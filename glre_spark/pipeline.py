@@ -74,11 +74,18 @@ def predictions_to_triples(preds: DataFrame, alias_df: DataFrame) -> DataFrame:
     the prediction stream is orders of magnitude larger than the distinct
     surface-triple space, so the two broadcast joins (and their per-row
     normalization regexes) run on the collapsed table, not the stream."""
-    agg = preds.groupBy("h_name", "r", "t_name").agg(
-        F.max("score").alias("score"),
-        F.min("url").alias("url"),
-        F.count("*").alias("n_pred_rows"),
-    )
+    if "n_pred_rows" in preds.columns:  # already partition-aggregated in-stage
+        agg = preds.groupBy("h_name", "r", "t_name").agg(
+            F.max("score").alias("score"),
+            F.min("url").alias("url"),
+            F.sum("n_pred_rows").alias("n_pred_rows"),
+        )
+    else:
+        agg = preds.groupBy("h_name", "r", "t_name").agg(
+            F.max("score").alias("score"),
+            F.min("url").alias("url"),
+            F.count("*").alias("n_pred_rows"),
+        )
     linked_h = link_aliases(
         agg.withColumnRenamed("h_name", "name"), alias_df
     ).select(
@@ -106,8 +113,10 @@ def build_triples(spark: SparkSession, pages: DataFrame,
     benches because the dictionary already canonicalizes this corpus."""
     from glre_spark.linking import apply_name_clusters, cluster_names
 
+    from glre_spark.inference import infer_stage_agg
+
     docs = prepare_pages(pages, use_extractor=use_extractor, partitions=partitions)
-    preds = infer_stage(
+    preds = infer_stage_agg(
         docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor
     )
     triples = predictions_to_triples(preds, alias_dict_df(spark))

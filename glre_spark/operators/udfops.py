@@ -4,6 +4,8 @@ the operator-level proofs of the UDF patterns the inference stage uses."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -128,5 +130,66 @@ def scan_docred_json(spark, sf_dir):
             F.col("l.h").alias("h"),
             F.col("l.t").alias("t"),
             F.col("l.r").alias("r"),
+        )
+    )
+
+
+@op("udf_scalar_pandas", None)  # Python-stage op → rows-only
+def udf_scalar_pandas(spark, sf_dir):
+    """Scalar Series→Series pandas UDF surface (§2.11): the deterministic
+    HTML→text extractor applied distributed, checked against the text col."""
+    import pandas as pd
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.extract import extract_text_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = docs.repartition(8).mapInPandas(gen, PAGES_SCHEMA)
+    return pages.select(
+        "url", F.length(extract_text_udf(F.col("html"))).alias("extracted_len")
+    )
+
+
+@op("udf_iter_pandas", None)  # Python-stage op → rows-only
+def udf_iter_pandas(spark, sf_dir):
+    """Iterator[pd.Series]→Iterator[pd.Series] pandas UDF (init-once
+    pattern, §2.11): per-worker one-time state shared across batches."""
+
+    @F.pandas_udf("long")
+    def hashed_tokens(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib  # init-once scope: loaded per worker, reused per batch
+
+        salt = b"glre"
+        for s in it:
+            yield s.map(
+                lambda t: int.from_bytes(
+                    hashlib.md5(salt + (t or "").encode()).digest()[:4], "big"
+                )
+            )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", hashed_tokens(F.col("text")).alias("text_hash32"))
+
+
+@op("sort_within_part", None)  # physical layout op → rows-only
+def sort_within_part(spark, sf_dir):
+    """sortWithinPartitions before a partitioned write (file clustering,
+    §2.6); observable output: per-partition row counts + min/max key of
+    the clustered layout."""
+    li = load(spark, sf_dir, "lineitem").repartition(8, "l_returnflag")
+    sorted_parts = li.sortWithinPartitions("l_returnflag", "l_orderkey")
+    return (
+        sorted_parts.select(F.spark_partition_id().alias("pid"), "l_orderkey")
+        .groupBy("pid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
         )
     )

@@ -16,19 +16,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: read sf0.001 documents for scale/ids, synthesize the
     north-rule pages table (url, warc_ts, html, text, lang) deterministically
     from them (FIXTURES.md §B), run the full GLRE KG pipeline → triples."""
-    import pandas as pd
-
-    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.datagen import pages_from_docs
     from glre_spark.pipeline import build_triples
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    pages = docs.select("doc_id").repartition(8).mapInPandas(gen, PAGES_SCHEMA)
+    pages = pages_from_docs(docs, partitions=8)
     return build_triples(spark, pages)
 
 

@@ -185,6 +185,12 @@ def doc_url(doc_id: int) -> str:
 
 
 def doc_warc_ts(doc_id: int) -> _dt.datetime:
+    if doc_id % 10 == 7:
+        # Recrawl row (doc_url reuses doc_id-1's url): its timestamp must be
+        # strictly LATER than the original crawl's so the as-of dedup always
+        # keeps the recrawl. A plain day-of-week wrap broke this for
+        # doc_id ≡ 7 (mod 70) — derive from the base crawl + positive offset.
+        return doc_warc_ts(doc_id - 1) + _dt.timedelta(days=30, hours=1)
     return _EPOCH + _dt.timedelta(
         days=doc_id % 7, hours=doc_id % 24, seconds=doc_id % 3600
     )
@@ -266,6 +272,23 @@ def pages_df(
             )
 
     return ids.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def pages_from_docs(
+    docs, id_col: str = "doc_id", partitions: int = 16,
+    seed: int = 42, sent_range: tuple[int, int] = (2, 8),
+):
+    """Synthesize the north-rule pages table 1:1 from a doc-id DataFrame
+    (shared by the driver entry, the glre_* ops, and the UDF-surface ops —
+    one generator, identical corpus everywhere)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_row(int(i), seed, sent_range) for i in pdf[id_col]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select(id_col).repartition(partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -27,14 +27,24 @@ PRED_SCHEMA = (
     "h_type string, t_type string, r string, score double"
 )
 
-_MODEL_CACHE: dict[int, GLREModel] = {}
+_MODEL_CACHE: dict[bytes, GLREModel] = {}
+
+
+def _weights_key(weights) -> bytes:
+    """Cheap content fingerprint: one small tensor's bytes. Keying the
+    warm-worker cache on the DEFAULT seed would silently ignore non-default
+    broadcast weights; ff2_b-independent draws make ff1_w seed-unique."""
+    return weights["ff1_w"].tobytes()[:256]
 
 
 def _get_model(weights=None, seed: int = MODEL_SEED) -> GLREModel:
-    model = _MODEL_CACHE.get(seed)
+    if weights is None:
+        weights = build_weights(seed)
+    key = _weights_key(weights)
+    model = _MODEL_CACHE.get(key)
     if model is None:
-        model = GLREModel(weights if weights is not None else build_weights(seed))
-        _MODEL_CACHE[seed] = model
+        model = GLREModel(weights)
+        _MODEL_CACHE[key] = model
     return model
 
 
@@ -52,7 +62,11 @@ LEAN_SCHEMA = (
 
 
 def infer_stage_agg(
-    df: DataFrame, weights_bc=None, text_col: str = "text", extract_html: bool = False
+    df: DataFrame,
+    weights_bc=None,
+    text_col: str = "text",
+    extract_html: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Like infer_stage, but performs the first-level
     (h_name, r, t_name) → (max score, min url, count) aggregation INSIDE
@@ -60,23 +74,29 @@ def infer_stage_agg(
     stream is ~3× larger than the partition-distinct surface; collapsing
     before the Arrow boundary cuts python→JVM transfer and the downstream
     shuffle by the same factor. The JVM's map-side combine then merges
-    partitions (pipeline.predictions_to_triples)."""
+    partitions (pipeline.predictions_to_triples).
+
+    ``group_col`` (int column, e.g. lineage bucket_group) joins the agg key
+    and rides through — the checkpointed single-pass run partitions its
+    sink by it."""
     from glre_spark.extract import extract_text
     from glre_spark.nlp import analyze
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model(weights_bc.value if weights_bc is not None else None)
-        acc: dict[tuple, list] = {}  # (h,r,t) -> [max_score, min_url, n]
+        acc: dict[tuple, list] = {}  # (grp?,h,r,t) -> [max_score, min_url, n]
         for pdf in batches:
             if extract_html:
                 texts = (extract_text(h) for h in pdf["html"])
             else:
                 texts = (t or "" for t in pdf["text"])
-            for url, text in zip(pdf["url"], texts):
+            groups = pdf[group_col] if group_col else None
+            for i, (url, text) in enumerate(zip(pdf["url"], texts)):
                 doc = analyze(url, text)
                 names = doc.entity_names
+                grp = int(groups.iloc[i]) if group_col else 0
                 for h, t, rel, score in model.predict(doc):
-                    key = (names[h], rel, names[t])
+                    key = (grp, names[h], rel, names[t])
                     cur = acc.get(key)
                     score = round(score, 6)
                     if cur is None:
@@ -88,19 +108,24 @@ def infer_stage_agg(
                             cur[1] = url
                         cur[2] += 1
         keys = list(acc.keys())
-        yield pd.DataFrame(
-            {
-                "h_name": pd.Series([k[0] for k in keys], dtype="object"),
-                "r": pd.Series([k[1] for k in keys], dtype="object"),
-                "t_name": pd.Series([k[2] for k in keys], dtype="object"),
-                "score": pd.Series([acc[k][0] for k in keys], dtype=np.float64),
-                "url": pd.Series([acc[k][1] for k in keys], dtype="object"),
-                "n_pred_rows": pd.Series([acc[k][2] for k in keys], dtype=np.int64),
-            }
-        )
+        out = {
+            "h_name": pd.Series([k[1] for k in keys], dtype="object"),
+            "r": pd.Series([k[2] for k in keys], dtype="object"),
+            "t_name": pd.Series([k[3] for k in keys], dtype="object"),
+            "score": pd.Series([acc[k][0] for k in keys], dtype=np.float64),
+            "url": pd.Series([acc[k][1] for k in keys], dtype="object"),
+            "n_pred_rows": pd.Series([acc[k][2] for k in keys], dtype=np.int64),
+        }
+        if group_col:
+            out[group_col] = pd.Series([k[0] for k in keys], dtype=np.int32)
+        yield pd.DataFrame(out)
 
     cols = ["url", df["html"]] if extract_html else ["url", df[text_col].alias("text")]
-    return df.select(*cols).mapInPandas(fn, LEAN_SCHEMA)
+    schema = LEAN_SCHEMA
+    if group_col:
+        cols.append(group_col)
+        schema = f"{LEAN_SCHEMA}, {group_col} int"
+    return df.select(*cols).mapInPandas(fn, schema)
 
 
 def infer_stage(

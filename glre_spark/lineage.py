@@ -6,12 +6,21 @@ exact resume. Mechanism (works on plain parquet; Iceberg-ready layout):
 - work is keyed by deterministic url-hash *buckets* (pipeline.url_bucket),
   decoupled from task parallelism — bucket ids are stable across cluster
   sizes, so a run at N executors can be resumed at 4N;
-- each completed bucket-group writes its triples under
-  ``triples/bucket_group=<g>/`` (idempotent dynamic-partition overwrite)
-  and THEN appends a manifest row — manifest-last commit order means a
-  crash can only lose uncommitted work, never record phantom work;
+- ONE job per (re)start processes every pending bucket-group: the pages
+  source is scanned exactly once, triples are written with dynamic
+  partition overwrite on ``bucket_group=`` (idempotent per group), and
+  per-group input counts come from ``df.observe()`` on the same pass — no
+  per-group filter/count re-scans;
+- the manifest is appended AFTER the data lands — manifest-last commit
+  order means a crash can only lose uncommitted work (whose partitions the
+  resume overwrites idempotently), never record phantom work;
 - on restart, ``pending_groups`` left-anti joins the manifest and only
   missing groups are recomputed (resume_filter op).
+
+Dedup scope: triples are exact-deduped WITHIN a bucket group (the unit of
+idempotent commit); the same (subj, pred, obj) observed in two groups is
+two rows on disk. ``read_triples`` re-aggregates across groups by default
+so consumers see the globally-deduped invariant.
 """
 
 from __future__ import annotations
@@ -20,7 +29,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
@@ -41,18 +50,13 @@ def read_manifest(spark: SparkSession, base: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def append_manifest_row(
+def append_manifest_rows(
     spark: SparkSession,
     base: str,
-    run_id: str,
-    bucket_group: int,
-    input_rows: int,
-    triples: int,
-    wall_ms: int,
+    rows: list[tuple[str, int, str, int, int, int]],
 ) -> None:
-    row = [(run_id, bucket_group, "done", input_rows, triples, wall_ms)]
     df = spark.createDataFrame(
-        row,
+        rows,
         "run_id string, bucket_group int, status string, input_rows long, "
         "triples long, wall_ms long",
     ).withColumn("committed_at", F.current_timestamp())
@@ -66,6 +70,63 @@ def pending_groups(spark: SparkSession, base: str, n_groups: int) -> list[int]:
     return sorted(r.bucket_group for r in rows)
 
 
+def _process_groups(
+    spark: SparkSession,
+    pages_g: DataFrame,
+    base: str,
+    run_id: str,
+    groups: list[int],
+) -> None:
+    """One Spark job over all ``groups``: filter → build_triples (group-
+    scoped dedup, bucket_group carried through the Arrow stage) → dynamic-
+    partition-overwrite write → manifest append. Per-group input counts
+    ride an Observation on the same pass (no extra scan)."""
+    from glre_spark.pipeline import build_triples
+
+    if not groups:
+        return
+    t0 = time.time()
+    part = pages_g.filter(F.col("bucket_group").isin([int(g) for g in groups]))
+    obs = Observation(f"lineage_{run_id}")
+    part = part.observe(
+        obs,
+        *[
+            F.count(F.when(F.col("bucket_group") == g, True)).alias(f"g{g}")
+            for g in groups
+        ],
+    )
+    triples = build_triples(spark, part, group_col="bucket_group")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            triples.write.mode("overwrite")
+            .partitionBy("bucket_group")
+            .parquet(os.path.join(base, "triples"))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    in_rows = obs.get  # populated by the write action above
+    # per-group output counts from the (small) written triples, one scan
+    out_counts = {
+        r.bucket_group: r.n
+        for r in spark.read.parquet(os.path.join(base, "triples"))
+        .filter(F.col("bucket_group").isin([int(g) for g in groups]))
+        .groupBy("bucket_group")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    wall_ms = int((time.time() - t0) * 1000)
+    append_manifest_rows(
+        spark,
+        base,
+        [
+            (run_id, int(g), "done", int(in_rows[f"g{g}"]), int(out_counts.get(g, 0)), wall_ms)
+            for g in groups
+        ],
+    )
+
+
 def run_with_checkpoints(
     spark: SparkSession,
     pages: DataFrame,
@@ -74,39 +135,33 @@ def run_with_checkpoints(
     run_id: str | None = None,
     fail_after: int | None = None,
 ) -> str:
-    """Process the corpus group-by-group with manifest-last commits.
-    ``fail_after`` aborts after K groups (crash-injection for tests).
-    Returns the run_id. Re-invoking with the same ``base`` resumes."""
-    from glre_spark.pipeline import build_triples, url_bucket
+    """Process every pending bucket group in ONE pass over the pages source
+    (manifest-last commit). ``fail_after`` commits only the first K pending
+    groups, then raises (crash-injection for tests). Returns the run_id.
+    Re-invoking with the same ``base`` resumes the missing groups."""
+    from glre_spark.pipeline import url_bucket
 
     run_id = run_id or uuid.uuid4().hex[:12]
     pages_g = pages.withColumn(
         "bucket_group", F.pmod(url_bucket(F.col("url")), F.lit(n_groups)).cast("int")
     )
     todo = pending_groups(spark, base, n_groups)
-    for i, g in enumerate(todo):
-        if fail_after is not None and i >= fail_after:
-            raise RuntimeError(f"injected failure before group {g}")
-        t0 = time.time()
-        part = pages_g.filter(F.col("bucket_group") == g).drop("bucket_group")
-        n_in = part.count()
-        triples = build_triples(spark, part)
-        # partition dir name carries bucket_group; keeping it as a data
-        # column too would clash on read-back with basePath
-        (
-            triples.write.mode("overwrite")
-            .parquet(os.path.join(base, "triples", f"bucket_group={g}"))
-        )
-        n_out = spark.read.parquet(
-            os.path.join(base, "triples", f"bucket_group={g}")
-        ).count()
-        append_manifest_row(
-            spark, base, run_id, g, n_in, n_out, int((time.time() - t0) * 1000)
-        )
+    if fail_after is not None and fail_after < len(todo):
+        _process_groups(spark, pages_g, base, run_id, todo[:fail_after])
+        raise RuntimeError(f"injected failure before group {todo[fail_after]}")
+    _process_groups(spark, pages_g, base, run_id, todo)
     return run_id
 
 
-def read_triples(spark: SparkSession, base: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(base, "triples")).parquet(
-        os.path.join(base, "triples", "bucket_group=*")
-    )
+def read_triples(spark: SparkSession, base: str, dedup: bool = True) -> DataFrame:
+    """Read the combined triple table. ``dedup=True`` (default) re-applies
+    the exact (subj, pred, obj) dedup across bucket groups — group-scoped
+    commits mean a triple witnessed in two groups is stored twice; the
+    re-aggregation (max score, min url, sum n_sources) restores the global
+    invariant build_triples guarantees."""
+    from glre_spark.linking import dedup_triples
+
+    df = spark.read.parquet(os.path.join(base, "triples"))
+    if dedup:
+        df = dedup_triples(df.drop("bucket_group"))
+    return df

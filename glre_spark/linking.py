@@ -138,9 +138,19 @@ def candidate_pairs(keys: DataFrame, id_col: str, band_col: str = "band") -> Dat
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(id_a, id_b) → (id, component) with component = min id reachable.
-    Driver-side fixpoint loop; localCheckpoint truncates lineage per
-    iteration (SURVEY.md §4.3). Assumes pre-blocked edges (block size is
-    capped upstream), so iterations are few."""
+
+    Min-label propagation PLUS a pointer-jumping step per round (component
+    ← label(component)), so convergence is O(log diameter) — chains across
+    overlapping LSH blocks converge in a handful of rounds even when far
+    longer than max_iter. Driver-side fixpoint loop; localCheckpoint
+    truncates lineage per iteration (SURVEY.md §4.3).
+
+    Convergence probe: labels are monotonically non-increasing, so the
+    label sum is strictly decreasing until fixpoint. Summed as
+    decimal(38,0) — ids may be 64-bit hashes (cluster_names), whose bigint
+    sum could overflow; decimal38 cannot at any realistic node count."""
+    import warnings
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -148,22 +158,40 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # candidate label for dst = min over neighbors' labels (+ own)
-        labels = (
+        prop = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("component"))
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component ← label(component). label(x) ≤ x always,
+        # and every component value is itself a node id, so the lookup hits.
+        lut = prop.select(
+            F.col("id").alias("_cid"), F.col("component").alias("_cnew")
+        )
+        labels = (
+            prop.join(lut, prop.component == lut._cid)
+            .select("id", F.col("_cnew").alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage, one execution
         )
-        # monotone convergence probe on the checkpointed result: the label
-        # sum strictly decreases until fixpoint (labels only shrink)
-        s = labels.agg(F.sum("component")).collect()[0][0]
+        s = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter}; "
+            "components may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -187,15 +215,19 @@ def cluster_names(
 ) -> DataFrame:
     """(name [, weight]) → (name, cluster_name) mapping for near-duplicate
     names. Pure DataFrame ops: shingle → MinHash → LSH bands → capped
-    block self-join → Jaccard verify → connected components (by dense
-    name id) → canonical pick (max weight, tie → lexicographic)."""
+    block self-join → Jaccard verify → connected components (by hashed
+    name id) → canonical pick (max weight, tie → lexicographic).
+
+    Node ids are xxhash64(name): fully parallel (a dense_rank over a
+    global no-partition window would funnel every distinct name through
+    one task) and collision-safe at 64 bits for name-clustering scale."""
     w = (
         names.groupBy(name_col).agg(F.sum(weight_col).alias("_w"))
         if weight_col
         else names.select(name_col).distinct().withColumn("_w", F.lit(1))
     )
     ided = w.withColumn(
-        "_id", F.dense_rank().over(Window.orderBy(name_col)).cast("bigint")
+        "_id", F.xxhash64(F.col(name_col))
     ).withColumn("_sh", shingles(norm_name(F.col(name_col))))
     sig = ided.withColumn("_sig", minhash_signature(F.col("_sh")))
     bands = sig.select(
@@ -278,14 +310,19 @@ def canonicalize(named: DataFrame, cluster_col: str = "component", name_col: str
     )
 
 
-def dedup_triples(triples: DataFrame) -> DataFrame:
+def dedup_triples(triples: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
     """Exact (subj, pred, obj) dedup keeping max score + a witness url.
     n_sources = number of contributing prediction rows (pre-aggregated
-    upstream counts are summed when present)."""
-    n_sources = (
-        F.sum("n_pred_rows") if "n_pred_rows" in triples.columns else F.count("*")
-    )
-    return triples.groupBy("subj", "pred", "obj").agg(
+    upstream counts — n_pred_rows or already-deduped n_sources — are
+    summed when present, so re-deduping a partially-deduped table is
+    exact). ``extra_keys`` scopes the dedup (e.g. lineage bucket_group)."""
+    if "n_pred_rows" in triples.columns:
+        n_sources = F.sum("n_pred_rows")
+    elif "n_sources" in triples.columns:
+        n_sources = F.sum("n_sources")
+    else:
+        n_sources = F.count("*")
+    return triples.groupBy("subj", "pred", "obj", *(extra_keys or [])).agg(
         F.max("score").alias("score"),
         F.min("url").alias("url"),
         n_sources.cast("bigint").alias("n_sources"),

@@ -80,11 +80,22 @@ _BANDS = 2  # bands of r=4: high-precision blocking — r=2 floods the
             # of self-join at 500 docs; quadratic at web scale)
 _R = _K // _BANDS
 
+# MinHash family: ONE md5 per shingle (28-bit base hash from the first 7
+# hex chars) + K integer permutations h_i = (A_i·h + B_i) mod P. 8× fewer
+# md5 calls than hashing per-seed (the signature stage is md5-bound), and
+# every step is exact int64 arithmetic both engines agree on (A·h + B <
+# 2^59, no overflow under ANSI mode). P = 2^31-1 (Mersenne prime).
+_P = 2147483647
+_A = [1103515245, 1225577, 747796405, 2027382, 1664525, 22695477, 65793, 100005713]
+_B = [12345, 987654321, 69069, 8121, 1013904223, 1, 377003613, 55555]
+
 _SHINGLE_CTE = """sh AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
-  FROM (SELECT doc_id, text,
-               UNNEST(range(1, greatest(length(text) - 1, 2))) AS i
-        FROM documents)
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+  FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+        FROM (SELECT doc_id, text,
+                     UNNEST(range(1, greatest(length(text) - 1, 2))) AS i
+              FROM documents))
 )"""
 
 _SIG_CTE = (
@@ -92,7 +103,7 @@ _SIG_CTE = (
     + """,
 sig AS (
   SELECT doc_id, """
-    + ", ".join(f"min(md5(s || ':{i}')) AS mh{i}" for i in range(_K))
+    + ", ".join(f"min(({_A[i]} * h + {_B[i]}) % {_P}) AS mh{i}" for i in range(_K))
     + """
   FROM sh GROUP BY doc_id
 )"""
@@ -108,20 +119,29 @@ def _shingle_col(c, k: int = 3):
     )
 
 
-def _seed_hash(i: int):
+def _shingle_hash_col(c, k: int = 3):
+    """Distinct k-shingles → 28-bit base hashes (one md5 per shingle)."""
+    return F.transform(
+        _shingle_col(c, k),
+        lambda x: F.conv(F.md5(x).substr(1, 7), 16, 10).cast("bigint"),
+    )
+
+
+def _perm_hash(i: int):
     # NB: must return a ONE-arg lambda — F.transform interprets a two-arg
     # lambda as (element, index), which would silently shadow the seed.
-    return lambda x: F.md5(F.concat(x, F.lit(f":{i}")))
+    a, b = F.lit(_A[i]).cast("bigint"), F.lit(_B[i]).cast("bigint")
+    return lambda h: F.pmod(a * h + b, F.lit(_P).cast("bigint"))
 
 
 def _sig_df(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingle_col(F.col("text")).alias("sh")
+        "doc_id", _shingle_hash_col(F.col("text")).alias("hs")
     )
     return docs.select(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col("sh"), _seed_hash(i))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("hs"), _perm_hash(i))).alias(f"mh{i}")
             for i in range(_K)
         ],
     )
@@ -135,7 +155,9 @@ def minhash_sig(spark, sf_dir):
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, CAST({b} AS BIGINT) AS band_id, md5({parts}) AS band_hash FROM sig".format(
         b=b,
-        parts=" || '|' || ".join(f"mh{b * _R + j}" for j in range(_R)),
+        parts=" || '|' || ".join(
+            f"CAST(mh{b * _R + j} AS VARCHAR)" for j in range(_R)
+        ),
     )
     for b in range(_BANDS)
 )
@@ -155,24 +177,45 @@ def lsh_band(spark, sf_dir):
     ).select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
 
 
-@op(
-    "lsh_candidates",
-    "WITH "
-    + _SIG_CTE
+MAX_LSH_BLOCK = 64  # block-size cap: one hot band bucket would otherwise go
+                    # quadratic in the self-join (cartesian bomb at web
+                    # scale); oversized blocks are dropped, as in
+                    # linking.cluster_names
+
+_CAND_CTES = (
+    _SIG_CTE
     + """,
 bands AS ("""
     + _BAND_SELECTS
-    + """)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.band_id = b.band_id
-WHERE a.doc_id < b.doc_id""",
+    + f"""),
+sized AS (
+  SELECT band_id, band_hash FROM bands
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_LSH_BLOCK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN sized s ON a.band_id = s.band_id AND a.band_hash = s.band_hash
+  JOIN bands b ON a.band_hash = b.band_hash AND a.band_id = b.band_id
+  WHERE a.doc_id < b.doc_id
+)"""
 )
-def lsh_candidates(spark, sf_dir):
-    """Candidate near-dup pairs = documents sharing an LSH band bucket."""
-    bands = lsh_band(spark, sf_dir)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band_id", "band_hash"
+
+
+def _capped_candidates(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
+    # Materialize the band table ONCE: the minhash signature expression
+    # (all-shingles × 8 md5s) dominates, and the size-filter + self-join
+    # would otherwise recompute it 3×. On a cluster this is "write the
+    # signature table, then join" — localCheckpoint is the local analog.
+    bands = lsh_band(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
+    bands = bands.join(
+        F.broadcast(
+            sizes.filter(F.col("bn") <= max_block).select("band_id", "band_hash")
+        ),
+        ["band_id", "band_hash"],
     )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_hash")
     b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_hash")
     return (
         a.join(b, ["band_id", "band_hash"])
@@ -180,6 +223,13 @@ def lsh_candidates(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+@op("lsh_candidates", "WITH " + _CAND_CTES + " SELECT id_a, id_b FROM cand")
+def lsh_candidates(spark, sf_dir):
+    """Candidate near-dup pairs = documents sharing an LSH band bucket,
+    bucket size capped at MAX_LSH_BLOCK (skew guard)."""
+    return _capped_candidates(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -328,33 +378,43 @@ def dedup_exact(spark, sf_dir):
 
 @op(
     "dedup_ngram_jaccard",
-    """WITH d AS (
-         SELECT doc_id, n_chars,
-                list_distinct(list_transform(
-                  range(1, greatest(length(text) - 1, 2)),
-                  i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
-         FROM documents
-       )
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4) + 0 AS jaccard
-       FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+    "WITH "
+    + _CAND_CTES
+    + """,
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 2)),
+           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+  FROM documents
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(da.sh, db.sh))) + 1e-9, 4) + 0 AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.id_a
+JOIN d db ON db.doc_id = c.id_b""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Pairwise 3-gram Jaccard within n_chars blocks (blocked near-dup
-    verify — the LSH verify-step shape)."""
+    """Exact 3-gram Jaccard verify over the (capped) LSH candidate pairs —
+    the verify step is bounded by candidate count, never by block size.
+    (An earlier version blocked on exact n_chars equality: real near-dups
+    rarely share exact length while boilerplate corpora flood the block.)
+
+    Spark side intersects xxhash64-hashed shingles (8-byte longs) instead
+    of 3-char strings: ~2.5× less shuffle through the pair join, identical
+    set sizes (64-bit hash is injective on a trigram vocabulary whp); the
+    oracle intersects the string sets directly."""
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", _shingle_col(F.col("text")).alias("sh")
+        "doc_id",
+        F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
     )
-    a = d.select(
-        F.col("doc_id").alias("id_a"), F.col("n_chars").alias("blk"), F.col("sh").alias("sh_a")
-    )
-    b = d.select(
-        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("blk"), F.col("sh").alias("sh_b")
-    )
+    cand = _capped_candidates(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(da, "id_a")
+        .join(db, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -492,19 +552,10 @@ def simhash_dedup(spark, sf_dir):
 def glre_extract_text(spark, sf_dir):
     """Byte-identical extraction invariant, distributed: synthesize pages
     (html + golden text) from the documents doc_ids, extract, compare."""
-    import pandas as pd
-
-    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.datagen import pages_from_docs
     from glre_spark.extract import extract_text_udf
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    pages = docs.repartition(16).mapInPandas(gen, PAGES_SCHEMA)
+    pages = pages_from_docs(load(spark, sf_dir, "documents"))
     return pages.select(
         "url",
         (extract_text_udf(F.col("html")) == F.col("text")).alias("byte_identical"),
@@ -514,17 +565,8 @@ def glre_extract_text(spark, sf_dir):
 @op("glre_infer_triples", None)
 def glre_infer_triples(spark, sf_dir):
     """The flagship KG pipeline end-to-end at sf_dir scale (rows-only)."""
-    import pandas as pd
-
-    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.datagen import pages_from_docs
     from glre_spark.pipeline import build_triples
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    pages = docs.repartition(16).mapInPandas(gen, PAGES_SCHEMA)
+    pages = pages_from_docs(load(spark, sf_dir, "documents"))
     return build_triples(spark, pages)

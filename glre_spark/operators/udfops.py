@@ -138,19 +138,10 @@ def scan_docred_json(spark, sf_dir):
 def udf_scalar_pandas(spark, sf_dir):
     """Scalar Series→Series pandas UDF surface (§2.11): the deterministic
     HTML→text extractor applied distributed, checked against the text col."""
-    import pandas as pd
-
-    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.datagen import pages_from_docs
     from glre_spark.extract import extract_text_udf
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            rows = [gen_page_row(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    pages = docs.repartition(8).mapInPandas(gen, PAGES_SCHEMA)
+    pages = pages_from_docs(load(spark, sf_dir, "documents"), partitions=8)
     return pages.select(
         "url", F.length(extract_text_udf(F.col("html"))).alias("extracted_len")
     )
@@ -162,19 +153,17 @@ def udf_iter_pandas(spark, sf_dir):
     pattern, §2.11): per-worker one-time state shared across batches."""
 
     @F.pandas_udf("long")
-    def hashed_tokens(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        import hashlib  # init-once scope: loaded per worker, reused per batch
-
-        salt = b"glre"
+    def hashed_text(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # init-once scope: the hash key is built per worker, reused per batch
+        hash_key = "glre-init-once!!"  # 16 bytes, pandas siphash key
         for s in it:
-            yield s.map(
-                lambda t: int.from_bytes(
-                    hashlib.md5(salt + (t or "").encode()).digest()[:4], "big"
-                )
+            h = pd.util.hash_pandas_object(  # vectorized C siphash, no per-row Python
+                s.fillna(""), index=False, hash_key=hash_key
             )
+            yield (h % (1 << 32)).astype("int64")
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", hashed_tokens(F.col("text")).alias("text_hash32"))
+    return docs.select("doc_id", hashed_text(F.col("text")).alias("text_hash32"))
 
 
 @op("sort_within_part", None)  # physical layout op → rows-only

@@ -39,7 +39,8 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
 
 
 def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True,
-                  partitions: int | None = None) -> DataFrame:
+                  partitions: int | None = None,
+                  carry_cols: list[str] | None = None) -> DataFrame:
     """Filter, dedup recrawls, repartition on url-hash. Text extraction is
     NOT done here — it is fused into the inference Arrow stage
     (inference.infer_stage(extract_html=True)) so the pipeline has exactly
@@ -62,10 +63,12 @@ def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True
     if partitions:
         df = df.repartition(partitions, "bucket")
     payload = "html" if use_extractor else "text"
-    return df.select("url", "warc_ts", payload, "lang", "bucket")
+    return df.select("url", "warc_ts", payload, "lang", "bucket", *(carry_cols or []))
 
 
-def predictions_to_triples(preds: DataFrame, alias_df: DataFrame) -> DataFrame:
+def predictions_to_triples(
+    preds: DataFrame, alias_df: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Link head/tail names through the alias dictionary and assemble
     (subj, pred, obj) rows.
 
@@ -74,53 +77,64 @@ def predictions_to_triples(preds: DataFrame, alias_df: DataFrame) -> DataFrame:
     the prediction stream is orders of magnitude larger than the distinct
     surface-triple space, so the two broadcast joins (and their per-row
     normalization regexes) run on the collapsed table, not the stream."""
+    keys = ["h_name", "r", "t_name"] + ([group_col] if group_col else [])
     if "n_pred_rows" in preds.columns:  # already partition-aggregated in-stage
-        agg = preds.groupBy("h_name", "r", "t_name").agg(
+        agg = preds.groupBy(*keys).agg(
             F.max("score").alias("score"),
             F.min("url").alias("url"),
             F.sum("n_pred_rows").alias("n_pred_rows"),
         )
     else:
-        agg = preds.groupBy("h_name", "r", "t_name").agg(
+        agg = preds.groupBy(*keys).agg(
             F.max("score").alias("score"),
             F.min("url").alias("url"),
             F.count("*").alias("n_pred_rows"),
         )
+    carry = [F.col(group_col)] if group_col else []
     linked_h = link_aliases(
         agg.withColumnRenamed("h_name", "name"), alias_df
     ).select(
         F.col("url"), F.col("t_name"), F.col("r"), F.col("score"),
-        F.col("n_pred_rows"), F.col("canonical_name").alias("subj"),
+        F.col("n_pred_rows"), F.col("canonical_name").alias("subj"), *carry,
     )
     linked = link_aliases(
         linked_h.withColumnRenamed("t_name", "name"), alias_df
     ).select(
         F.col("url"), F.col("subj"), F.col("r").alias("pred"),
         F.col("canonical_name").alias("obj"), F.col("score"),
-        F.col("n_pred_rows"),
+        F.col("n_pred_rows"), *carry,
     )
     return linked
 
 
 def build_triples(spark: SparkSession, pages: DataFrame,
                   use_extractor: bool = True, partitions: int | None = None,
-                  cluster_entities: bool = False) -> DataFrame:
+                  cluster_entities: bool = False,
+                  group_col: str | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduped triples.
 
     ``cluster_entities=True`` adds the cross-document entity-cluster merge
     (MinHash-LSH blocking + connected components over near-duplicate
     names, linking.cluster_names) after the alias join — off by default in
-    benches because the dictionary already canonicalizes this corpus."""
+    benches because the dictionary already canonicalizes this corpus.
+
+    ``group_col`` names an int column on ``pages`` (lineage bucket_group):
+    dedup becomes group-scoped and the column rides to the output so the
+    checkpointed run can partition its sink by it in ONE pass."""
     from glre_spark.linking import apply_name_clusters, cluster_names
 
     from glre_spark.inference import infer_stage_agg
 
-    docs = prepare_pages(pages, use_extractor=use_extractor, partitions=partitions)
-    preds = infer_stage_agg(
-        docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor
+    docs = prepare_pages(
+        pages, use_extractor=use_extractor, partitions=partitions,
+        carry_cols=[group_col] if group_col else [],
     )
-    triples = predictions_to_triples(preds, alias_dict_df(spark))
-    deduped = dedup_triples(triples)
+    preds = infer_stage_agg(
+        docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor,
+        group_col=group_col,
+    )
+    triples = predictions_to_triples(preds, alias_dict_df(spark), group_col=group_col)
+    deduped = dedup_triples(triples, extra_keys=[group_col] if group_col else [])
     if cluster_entities:
         names = deduped.select(F.col("subj").alias("name"), F.col("n_sources")).unionByName(
             deduped.select(F.col("obj").alias("name"), F.col("n_sources"))

@@ -51,6 +51,29 @@ def test_relational_ops_have_no_python_udfs(spark):
         )
 
 
+def test_cluster_names_has_no_global_window(spark):
+    """Node-id assignment must be hash-based: a Window with an empty
+    partition spec would funnel every distinct name through ONE task."""
+    from glre_spark.linking import cluster_names
+
+    names = spark.createDataFrame(
+        [(f"Entity {i}", 1) for i in range(20)], "name string, n long"
+    )
+    df = cluster_names(names, weight_col="n")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # id assignment is xxhash64(name), never a global dense_rank
+    assert "dense_rank" not in plan, "global dense_rank id assignment is back"
+    assert "xxhash64" in plan
+    # the one remaining window (canonical-rep pick) partitions by _comp:
+    # its windowspecdefinition must lead with the partition column
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.lstrip().startswith("_comp"), (
+                f"window not partitioned by _comp: {line.strip()}"
+            )
+
+
 def test_aggregate_early_before_linking(spark):
     """predictions_to_triples must aggregate before its joins: the plan
     should show HashAggregate below the first BroadcastHashJoin."""

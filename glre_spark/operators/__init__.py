@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
             kgops,
             scans,
             sets_sorts,
+            sinks_ops,
             textops,
             udfops,
             windows_ops,

@@ -479,25 +479,157 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+# --- random-hyperplane LSH for ANN ------------------------------------------
+# Seeded Rademacher (±1) hyperplanes: a valid sign-random-projection family
+# (Charikar SimHash), exactly computable in BOTH engines — the ±1 dot
+# product is an add/subtract chain written in the identical term order, so
+# Spark and DuckDB produce bit-identical doubles and identical sign bits.
+_EMB_DIM = 64
+_LSH_L = 8      # hash tables (union of candidates over tables)
+_LSH_BITS = 3   # sign bits per table: few bits + several tables because the
+                # corpus is near-orthogonal (top-10 cosine ≈ 0.3 → per-bit
+                # agreement ≈ 0.6; 3 bits × 8 tables → measured recall ≥ 0.8)
+
+
+def _lsh_planes(n_planes: int, seed: int) -> list[list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1, 1], size=(n_planes, _EMB_DIM)).tolist()
+
+
+_TOPK_PLANES = _lsh_planes(_LSH_L * _LSH_BITS, seed=20240816)
+_BUCKET_PLANES = _lsh_planes(8, seed=20240817)
+
+
+def _plane_sql(coefs: list[int]) -> str:
+    terms = [
+        ("+" if c > 0 else "-") + f" CAST(embedding[{i + 1}] AS DOUBLE) "
+        for i, c in enumerate(coefs)
+    ]
+    return "(0.0 " + "".join(terms) + ")"
+
+
+def _plane_col(coefs: list[int]):
+    e = F.col("embedding")
+    expr = F.lit(0.0)
+    for i, c in enumerate(coefs):
+        t = e.getItem(i).cast("double")
+        expr = (expr + t) if c > 0 else (expr - t)
+    return expr
+
+
+def _bucket_sql(planes: list[list[int]]) -> str:
+    return "concat(" + ", ".join(
+        f"CASE WHEN {_plane_sql(p)} > 0 THEN '1' ELSE '0' END" for p in planes
+    ) + ")"
+
+
+def _bucket_col(planes: list[list[int]]):
+    return F.concat(
+        *[F.when(_plane_col(p) > 0, "1").otherwise("0") for p in planes]
+    )
+
+
 @op(
     "ann_lsh_bucketed",
-    """SELECT concat(""" + ", ".join(
-        f"CASE WHEN embedding[{i}] > 0 THEN '1' ELSE '0' END" for i in range(1, 9)
-    ) + """) AS bucket,
+    f"""SELECT {_bucket_sql(_BUCKET_PLANES)} AS bucket,
               CAST(COUNT(*) AS BIGINT) AS n_vectors
        FROM embeddings GROUP BY 1""",
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-bit (random-hyperplane flavor) LSH bucketing of embeddings —
-    the scale path: ANN candidates only within a bucket."""
-    e = F.col("embedding")
-    bucket = F.concat(
-        *[F.when(e.getItem(i) > 0, "1").otherwise("0") for i in range(8)]
-    )
+    """Sign-random-projection bucketing of embeddings (seeded hyperplanes)
+    — the scale path: ANN candidates only within a bucket."""
     return (
         load(spark, sf_dir, "embeddings")
-        .groupBy(bucket.alias("bucket"))
+        .groupBy(_bucket_col(_BUCKET_PLANES).alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )
+
+
+def _topk_table_planes(tbl: int) -> list[list[int]]:
+    return _TOPK_PLANES[tbl * _LSH_BITS : (tbl + 1) * _LSH_BITS]
+
+
+@op(
+    "ann_lsh_topk",
+    "WITH b AS (SELECT vec_id, "
+    + ", ".join(
+        f"{_bucket_sql(_topk_table_planes(t))} AS b{t}" for t in range(_LSH_L)
+    )
+    + """ FROM embeddings),
+qb AS (SELECT * FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM b, qb
+  WHERE b.vec_id <> 0 AND ("""
+    + " OR ".join(f"b.b{t} = qb.b{t}" for t in range(_LSH_L))
+    + """)
+),
+q AS (
+  SELECT UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+pr AS (
+  SELECT d.vec_id, SUM(d.v * q.v) AS dot,
+         sqrt(SUM(d.v * d.v)) AS nd, sqrt(SUM(q.v * q.v)) AS nq
+  FROM d JOIN q USING (idx) GROUP BY d.vec_id
+)
+SELECT vec_id, ROUND(dot / (nd * nq) + 1e-9, 4) + 0 AS cos_sim
+FROM pr ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """End-to-end scalable ANN query: candidates = vectors sharing ANY of
+    the query's L table buckets (bucket join — never all-pairs), exact
+    cosine re-rank of the candidate set only, deterministic top-10.
+    Recall vs the ann_cosine_topk brute force is asserted ≥ 0.8 in
+    tests/test_ann.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_col(_topk_table_planes(t)) for t in range(_LSH_L)])
+        ).alias("tbl", "bkt"),
+    )
+    qb = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("tbl").alias("qtbl"), F.col("bkt").alias("qbkt")
+    )
+    cand = (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bkt") == F.col("qbkt")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    joined = emb.join(cand, "vec_id").crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = fround(
+        dot(F.col("embedding"), F.col("qe"))
+        / (
+            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        ),
+        4,
+    )
+    return (
+        joined.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )
 
 

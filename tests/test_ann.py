@@ -1,0 +1,49 @@
+"""ANN quality gate: the LSH-bucketed top-k must recall ≥ 0.8 of the
+brute-force cosine top-10 (VERDICT r01 item 6). Deterministic: seeded
+hyperplanes + seeded test data → recall is a fixed number per SF."""
+
+from __future__ import annotations
+
+from glre_spark.operators import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    brute = {r.vec_id for r in REGISTRY["ann_cosine_topk"][0](spark, SF_DIR).collect()}
+    lsh = {r.vec_id for r in REGISTRY["ann_lsh_topk"][0](spark, SF_DIR).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.8, f"ANN recall {recall:.2f} < 0.8 (lsh={sorted(lsh)})"
+
+
+def test_ann_lsh_candidates_are_a_strict_subset(spark):
+    """The LSH path must actually prune: candidate count < corpus size."""
+    import pyspark.sql.functions as F
+
+    from glre_spark.operators.kgops import (
+        _LSH_L,
+        _bucket_col,
+        _topk_table_planes,
+    )
+    from glre_spark.operators import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_col(_topk_table_planes(t)) for t in range(_LSH_L)])
+        ).alias("tbl", "bkt"),
+    )
+    qb = buckets.filter("vec_id = 0").select(
+        F.col("tbl").alias("qtbl"), F.col("bkt").alias("qbkt")
+    )
+    n_cand = (
+        buckets.filter("vec_id != 0")
+        .join(qb, (F.col("tbl") == F.col("qtbl")) & (F.col("bkt") == F.col("qbkt")))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert 10 <= n_cand < n, f"candidates {n_cand} of {n} — no pruning"

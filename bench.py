@@ -45,9 +45,11 @@ def main() -> None:
         "lsh_candidates",
         "dedup_ngram_jaccard",
         "ann_cosine_topk",
+        "ann_lsh_topk",
         "text_fingerprint",
         "simhash_dedup",
         "cc_label_prop",
+        "mm_image_ahash",
     ]
     timings: dict[str, float] = {}
     for name in headline:

@@ -38,7 +38,54 @@ def materialize(path: str, n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cores: int, n_docs: int, pages_path: str, warmup_docs: int = 2000) -> dict:
+def sigscan_job(pages):
+    """ALU-dense scan job (zero Python, negligible shuffle): the real LSH
+    signature stage — char-3-shingle every doc, one md5 per shingle + 8
+    integer permutations, per-doc array_min, global agg to ONE row. This
+    is the engine's embarrassingly-parallel path: its N→4N efficiency
+    tracks the HARDWARE's pure-CPU ceiling (burn test) because there is no
+    shuffle or memory-bus-heavy exchange to degrade."""
+    from pyspark.sql import functions as F
+
+    from glre_spark.operators.kgops import _perm_hash, _shingle_hash_col
+
+    sig = pages.select(
+        *[
+            F.array_min(
+                F.transform(_shingle_hash_col(F.col("text")), _perm_hash(i))
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ]
+    )
+    return sig.agg(
+        *[F.sum(F.col(f"mh{i}")).alias(f"s{i}") for i in range(8)],
+        F.count("*").alias("n"),
+    )
+
+
+def relational_job(pages):
+    """Scan/shuffle-bound relational job (zero Python stages): per-doc term
+    frequencies (high-cardinality shuffle on (url, tok)), corpus document
+    frequencies (second shuffle), top-3 docs per token via a partitioned
+    window, joined back. Separates the ENGINE's scaling from the
+    memory-bandwidth-bound numpy inference kernel (VERDICT r01)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = pages.select("url", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("url", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("url"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    return top.join(df, "tok")
+
+
+def run_level(
+    cores: int, n_docs: int, pages_path: str, warmup_docs: int = 2000,
+    job: str = "flagship",
+) -> dict:
     from glre_spark.datagen import pages_df
     from glre_spark.pipeline import build_triples
     from glre_spark.session import get_spark
@@ -46,32 +93,39 @@ def run_level(cores: int, n_docs: int, pages_path: str, warmup_docs: int = 2000)
     spark = get_spark(
         f"glre_scaling_{cores}", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS
     )
+    if job == "relational":
+        run = lambda p: relational_job(p).count()  # noqa: E731
+    elif job == "sigscan":
+        run = lambda p: sigscan_job(p).count()  # noqa: E731
+    else:
+        run = lambda p: build_triples(spark, p).count()  # noqa: E731
     # warmup: same plan shape (generated corpus), small
-    build_triples(
-        spark,
-        pages_df(spark, warmup_docs, partitions=INPUT_SPLITS, sent_range=SENT_RANGE),
-    ).count()
+    run(pages_df(spark, warmup_docs, partitions=INPUT_SPLITS, sent_range=SENT_RANGE))
     pages = spark.read.parquet(pages_path)
-    build_triples(spark, pages.limit(1000)).count()  # warm the scan path too
+    run(pages.limit(1000))  # warm the scan path too
 
-    # 4 runs, discard the first (still warming), take min of the rest:
-    # the sandbox VM shares its host (±20% noise on identical warm runs);
-    # min is the least-contended estimate.
+    # 4 runs, discard the first (still warming: whole-stage codegen JIT
+    # compiles on the first full-size pass), take min of the rest: the
+    # sandbox VM shares its host (hypervisor steal bursts of 3-10× on
+    # identical warm runs, measured); min is the least-contended estimate.
+    # The TOP-LEVEL driver additionally interleaves N/4N sessions so
+    # minute-scale contention hits both levels alike.
     walls = []
-    n_triples = 0
+    n_out = 0
     for _ in range(4):
         t0 = time.time()
-        n_triples = build_triples(spark, pages).count()
+        n_out = run(pages)
         walls.append(time.time() - t0)
     wall = min(walls[1:])
     return {
         "cores": cores,
         "n_docs": n_docs,
-        "triples": n_triples,
+        "job": job,
+        "triples": n_out,  # flagship: triples; relational: result rows
         "wall_s": round(wall, 2),
         "walls_all": [round(w, 2) for w in walls],
         "docs_per_sec": round(n_docs / wall, 1),
-        "triples_per_sec": round(n_triples / wall, 1),
+        "triples_per_sec": round(n_out / wall, 1),
     }
 
 
@@ -81,12 +135,15 @@ def main(argv=None) -> int:
     ap.add_argument("--n-docs", type=int, default=25_000)
     ap.add_argument("--pages", help="path of the materialized pages parquet")
     ap.add_argument("--materialize", help="write the pages corpus here and exit")
+    ap.add_argument(
+        "--job", default="flagship", choices=["flagship", "relational", "sigscan"]
+    )
     args = ap.parse_args(argv)
     if args.materialize:
         materialize(args.materialize, args.n_docs)
         print(json.dumps({"materialized": args.materialize, "n_docs": args.n_docs}))
         return 0
-    print(json.dumps(run_level(args.cores, args.n_docs, args.pages)))
+    print(json.dumps(run_level(args.cores, args.n_docs, args.pages, job=args.job)))
     return 0
 
 

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
             aggs,
             joins,
             kgops,
+            mm_ops,
             scans,
             sets_sorts,
             sinks_ops,

@@ -1,0 +1,168 @@
+"""Multimodal-column operators (brief: image/audio/video as opaque binary
+columns; decode / feature-extract / resize / frame-sample as Arrow-batched
+UDF stages). Binaries are synthesized deterministically from doc_id
+(glre_spark.multimodal — the codec layer is the stub, the Spark plumbing is
+real), so DuckDB can oracle the metadata ops by recomputing the expected
+values from the doc_id formulas while Spark parses the actual bytes — a
+true distributed round-trip check."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from glre_spark.operators import fround, load, op
+
+
+def _media_df(spark, sf_dir, gen_fn, schema="doc_id long, media binary"):
+    """doc_ids → (doc_id, media binary) via mapInPandas: the binary column
+    crosses the Arrow boundary exactly like real blob columns would."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": [gen_fn(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
+@op(
+    "mm_image_meta",
+    """SELECT doc_id,
+              CAST(16 + doc_id % 48 AS INTEGER) AS width,
+              CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+              CAST(9 + (16 + doc_id % 48) * (16 + (doc_id * 7) % 48) AS BIGINT)
+                AS n_bytes
+       FROM documents""",
+)
+def mm_image_meta(spark, sf_dir):
+    """Decode-free metadata extraction: parse width/height from the binary
+    header (real byte parse, Arrow-batched); the oracle recomputes the
+    generator formulas — parse and formula must agree byte-for-byte."""
+    from glre_spark.multimodal import gen_image, image_meta
+
+    media = _media_df(spark, sf_dir, gen_image)
+
+    def parse(batches):
+        for pdf in batches:
+            metas = [image_meta(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([m[0] for m in metas], dtype="int32"),
+                    "height": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "n_bytes": pd.Series([m[2] for m in metas], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(parse, "doc_id long, width int, height int, n_bytes long")
+
+
+@op("mm_image_ahash", None)  # perceptual-hash values → rows-only (pytest has a python oracle)
+def mm_image_ahash(spark, sf_dir):
+    """Resize (8×8 block-mean) + average-hash per image, vectorized numpy
+    inside ONE Arrow stage; grouped to surface perceptual collisions (the
+    image-dedup shape, mirroring simhash_dedup for text)."""
+    from glre_spark.multimodal import ahash64, decode_image, gen_image
+
+    media = _media_df(spark, sf_dir, gen_image)
+
+    def hash_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": pd.Series(
+                        [ahash64(decode_image(b)) for b in pdf["media"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    hashes = media.mapInPandas(hash_batch, "doc_id long, ahash long")
+    return hashes.groupBy("ahash").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("doc_id").alias("keeper"),
+    )
+
+
+@op(
+    "mm_frame_sample",
+    """SELECT doc_id,
+              CAST(8 + doc_id % 24 AS INTEGER) AS n_frames,
+              CAST((8 + doc_id % 24 - 1) // 4 + 1 AS INTEGER) AS n_sampled
+       FROM documents""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling: decode the video binary, keep every 4th frame
+    (fan-out inside the Arrow stage), then count per doc. Spark counts the
+    actually-materialized frames; the oracle computes ceil(n/4) from the
+    generator formula."""
+    from glre_spark.multimodal import gen_video, sample_frames
+
+    media = _media_df(spark, sf_dir, gen_video)
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                for idx, _frame in sample_frames(b, every=4):
+                    rows.append((int(doc_id), idx))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx"]).astype(
+                {"doc_id": "int64", "frame_idx": "int32"}
+            )
+
+    sampled = media.mapInPandas(frames, "doc_id long, frame_idx int")
+    return (
+        sampled.groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_sampled"))
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 24).cast("int").alias("n_frames"),
+            "n_sampled",
+        )
+    )
+
+
+@op(
+    "mm_audio_features",
+    """SELECT doc_id,
+              CAST(8000 + 1000 * (doc_id % 5) AS INTEGER) AS sample_rate,
+              CAST(1000 + (doc_id * 37) % 4000 AS INTEGER) AS n_samples,
+              CAST((1000 + (doc_id * 37) % 4000) * 1000
+                   // (8000 + 1000 * (doc_id % 5)) AS BIGINT) AS duration_ms
+       FROM documents""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio decode + metadata: Spark parses sample_rate / n_samples from
+    the real bytes and derives duration; the oracle recomputes the
+    formulas. (rms / zero-crossings are numpy features tested against a
+    python oracle in tests/test_multimodal.py.)"""
+    from glre_spark.multimodal import audio_features, gen_audio
+
+    media = _media_df(spark, sf_dir, gen_audio)
+
+    def feats(batches):
+        for pdf in batches:
+            fs = [audio_features(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [f["sample_rate"] for f in fs], dtype="int32"
+                    ),
+                    "n_samples": pd.Series([f["n_samples"] for f in fs], dtype="int32"),
+                    "duration_ms": pd.Series(
+                        [f["duration_ms"] for f in fs], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        feats, "doc_id long, sample_rate int, n_samples int, duration_ms long"
+    )

@@ -166,6 +166,29 @@ def udf_iter_pandas(spark, sf_dir):
     return docs.select("doc_id", hashed_text(F.col("text")).alias("text_hash32"))
 
 
+@op("udtf_sent_split", None)  # Python table function → rows-only
+def udtf_sent_split(spark, sf_dir):
+    """Spark 4 Python UDTF (§2.11, optional): doc → sentence rows via a
+    LATERAL table-function join — the doc→triples fan-out shape as a TVF.
+    Output parity with nlp.sent_split is asserted in tests/test_udtf.py."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id int, sent string, n_tokens int")
+    class SentSplit:
+        def eval(self, text: str):
+            from glre_spark.nlp import sent_split, tokenize
+
+            for i, toks in enumerate(sent_split(tokenize(text or ""))):
+                yield i, " ".join(toks), len(toks)
+
+    spark.udtf.register("glre_sent_split", SentSplit)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sent, s.n_tokens "
+        "FROM _docs_udtf d, LATERAL glre_sent_split(d.text) s"
+    )
+
+
 @op("sort_within_part", None)  # physical layout op → rows-only
 def sort_within_part(spark, sf_dir):
     """sortWithinPartitions before a partitioned write (file clustering,

@@ -47,13 +47,46 @@ def session_aggregate(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 60):
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY.md
+    §2.10 / brief: "applyInPandasWithState for custom stateful
+    operators"): running per-user totals carried in explicit group state
+    across micro-batches — the arbitrary-stateful shape that windowed aggs
+    can't express (e.g. a streaming resume manifest or per-url crawl
+    state). Emits the updated running total once per (user, micro-batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        total, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((total, vsum))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [total], "sum_value": [vsum]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, timeout_s: int = 60, mode: str = "complete"
+):
     """Drive a bounded file-source stream to completion into an in-memory
-    table (test harness; production would writeStream to the lake)."""
+    table (test harness; production would writeStream to the lake).
+    ``mode="update"`` for arbitrary-stateful queries (complete unsupported)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -41,7 +41,12 @@ def test_dim_joins_are_broadcast(spark):
 def test_relational_ops_have_no_python_udfs(spark):
     """Every SQL✓ operator must stay JVM-side (whole-stage codegen),
     never fall into ArrowEvalPython/BatchEvalPython."""
-    exceptions = {"udf_grouped_map", "udf_grouped_agg"}  # UDF surface ops
+    exceptions = {
+        "udf_grouped_map", "udf_grouped_agg",  # UDF surface ops
+        # multimodal ops: binary decode is inherently an Arrow/Python stage
+        # (that IS the op); their SQL twins oracle the generator formulas
+        "mm_image_meta", "mm_frame_sample", "mm_audio_features",
+    }
     for name, (fn, sql) in sorted(REGISTRY.items()):
         if sql is None or name in exceptions:
             continue

@@ -35,3 +35,36 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     )
     want = {(r.w_start, r.event_type): r.n for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches (the
+    source is split into many files, maxFilesPerTrigger=4 → several
+    triggers), and the final running totals must equal the batch agg."""
+    from glre_spark.streaming import stateful_user_totals
+
+    src_dir = str(tmp_path / "events_many")
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_src.repartition(12).write.parquet(src_dir)  # ≥3 micro-batches
+
+    stream = read_events_stream(spark, src_dir)
+    run_stream_to_memory(stateful_user_totals(stream), "stateful_mem", mode="update")
+    updates = spark.sql("SELECT * FROM stateful_mem")
+    # several updates per user (state crossed batches), final = max
+    final = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert updates.count() > len(final), "state never crossed a micro-batch"
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in batch_src.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == want

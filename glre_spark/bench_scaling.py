@@ -49,11 +49,15 @@ def sigscan_job(pages):
 
     from glre_spark.operators.kgops import _perm_hash, _shingle_hash_col
 
-    sig = pages.select(
+    # two-step select: the shingle-hash array is ALIASED once and the 8
+    # permutations reference the alias — inlining _shingle_hash_col into
+    # each min would run the md5 pass 8× (Catalyst refuses to collapse
+    # projections when that duplicates expensive expressions; writing the
+    # duplication by hand defeats that guard)
+    hs = pages.select(_shingle_hash_col(F.col("text")).alias("hs"))
+    sig = hs.select(
         *[
-            F.array_min(
-                F.transform(_shingle_hash_col(F.col("text")), _perm_hash(i))
-            ).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("hs"), _perm_hash(i))).alias(f"mh{i}")
             for i in range(8)
         ]
     )
@@ -96,7 +100,10 @@ def run_level(
     if job == "relational":
         run = lambda p: relational_job(p).count()  # noqa: E731
     elif job == "sigscan":
-        run = lambda p: sigscan_job(p).count()  # noqa: E731
+        # collect(), NOT count(): count() of an ungrouped aggregate lets
+        # Catalyst prune every aggregate expression (the row count of an
+        # Aggregate is known to be 1) and times an empty scan
+        run = lambda p: int(sigscan_job(p).collect()[0]["n"])  # noqa: E731
     else:
         run = lambda p: build_triples(spark, p).count()  # noqa: E731
     # warmup: same plan shape (generated corpus), small

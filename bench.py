@@ -51,16 +51,24 @@ def main() -> None:
         "cc_label_prop",
         "mm_image_ahash",
     ]
+    # min of N runs per op: this sandbox VM bursts 3-10× slower under
+    # hypervisor steal on identical warm runs; min is the least-contended
+    # estimate (same protocol as bench_scaling).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in headline:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        # noop sink, NOT count(): count() lets Catalyst prune every
-        # computed column of a pure projection (e.g. the whole MinHash
-        # signature) and the timing measures an empty scan. The noop
-        # sink consumes every column of every row.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            # noop sink, NOT count(): count() lets Catalyst prune every
+            # computed column of a pure projection (e.g. the whole MinHash
+            # signature) and the timing measures an empty scan. The noop
+            # sink consumes every column of every row.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

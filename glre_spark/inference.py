@@ -91,11 +91,15 @@ def infer_stage_agg(
             else:
                 texts = (t or "" for t in pdf["text"])
             groups = pdf[group_col] if group_col else None
-            for i, (url, text) in enumerate(zip(pdf["url"], texts)):
-                doc = analyze(url, text)
+            urls = list(pdf["url"])
+            docs = [analyze(url, text) for url, text in zip(urls, texts)]
+            # one cross-document batched pair pass (model.predict_batch)
+            for i, (url, doc, preds) in enumerate(
+                zip(urls, docs, model.predict_batch(docs))
+            ):
                 names = doc.entity_names
                 grp = int(groups.iloc[i]) if group_col else 0
-                for h, t, rel, score in model.predict(doc):
+                for h, t, rel, score in preds:
                     key = (grp, names[h], rel, names[t])
                     cur = acc.get(key)
                     score = round(score, 6)
@@ -151,9 +155,9 @@ def infer_stage(
                 texts = (extract_text(h) for h in pdf["html"])
             else:
                 texts = (t or "" for t in pdf["text"])
-            for url, text in zip(pdf["url"], texts):
-                doc = analyze(url, text)
-                preds = model.predict(doc)
+            urls = list(pdf["url"])
+            docs = [analyze(url, text) for url, text in zip(urls, texts)]
+            for url, doc, preds in zip(urls, docs, model.predict_batch(docs)):
                 if not preds:
                     continue
                 names, types = doc.entity_names, doc.entity_types

@@ -707,3 +707,28 @@ def glre_infer_triples(spark, sf_dir):
 
     pages = pages_from_docs(load(spark, sf_dir, "documents"))
     return build_triples(spark, pages)
+
+
+@op("glre_cluster_entities", None)
+def glre_cluster_entities(spark, sf_dir):
+    """The full north-star path INCLUDING the cross-document entity-cluster
+    merge (MinHash-LSH blocking + connected components over near-duplicate
+    names, linking.cluster_names) — build_triples(cluster_entities=True).
+    Rows-only: the iterative CC fixpoint is not one SQL statement."""
+    from glre_spark.datagen import pages_from_docs
+    from glre_spark.pipeline import build_triples
+
+    pages = pages_from_docs(load(spark, sf_dir, "documents"))
+    return build_triples(spark, pages, cluster_entities=True)
+
+
+@op("glre_entity_table", None)
+def glre_entity_table(spark, sf_dir):
+    """The entity dimension materialized from the GLRE triple stream
+    (io.entity_table — north_star's 'entity table as partitioned output')."""
+    from glre_spark.datagen import pages_from_docs
+    from glre_spark.io import entity_table
+    from glre_spark.pipeline import build_triples
+
+    pages = pages_from_docs(load(spark, sf_dir, "documents"))
+    return entity_table(build_triples(spark, pages))

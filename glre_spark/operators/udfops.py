@@ -166,11 +166,34 @@ def udf_iter_pandas(spark, sf_dir):
     return docs.select("doc_id", hashed_text(F.col("text")).alias("text_hash32"))
 
 
-@op("udtf_sent_split", None)  # Python table function → rows-only
+@op(
+    "udtf_sent_split",
+    # full SQL twin of nlp.sent_split: tokens = non-empty single-space
+    # splits; a sentence = token run ending at ./!/? (trailing run counts)
+    """WITH toks AS (
+         SELECT doc_id, UNNEST(arr) AS tok,
+                UNNEST(range(1, len(arr) + 1)) AS i
+         FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+       ),
+       marked AS (
+         SELECT doc_id, tok, i,
+                CAST(COALESCE(SUM(CASE WHEN tok IN ('.', '!', '?') THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS INTEGER) AS sent_id
+         FROM toks WHERE tok <> ''
+       )
+       SELECT doc_id, sent_id,
+              string_agg(tok, ' ' ORDER BY i) AS sent,
+              CAST(COUNT(*) AS INTEGER) AS n_tokens
+       FROM marked GROUP BY doc_id, sent_id""",
+)
 def udtf_sent_split(spark, sf_dir):
     """Spark 4 Python UDTF (§2.11, optional): doc → sentence rows via a
     LATERAL table-function join — the doc→triples fan-out shape as a TVF.
-    Output parity with nlp.sent_split is asserted in tests/test_udtf.py."""
+    Output parity with nlp.sent_split is asserted in tests/test_udtf.py;
+    the DuckDB twin recomputes the split relationally (running count of
+    sentence-terminator tokens)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="sent_id int, sent string, n_tokens int")

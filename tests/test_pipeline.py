@@ -21,6 +21,14 @@ def test_pipeline_end_to_end(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_triples_invariant_to_input_partitioning(spark):
+    """Cluster-size independence (north rule: resume an N-executor run at
+    4N): the triple set must not depend on how the input is split."""
+    a = build_triples(spark, pages_df(spark, 80, partitions=3)).collect()
+    b = build_triples(spark, pages_df(spark, 80, partitions=13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_extractor_matches_text_column_in_spark(spark):
     """Byte-identical invariant enforced distributed, not just in-process."""
     from pyspark.sql import functions as F

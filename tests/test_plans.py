@@ -42,7 +42,7 @@ def test_relational_ops_have_no_python_udfs(spark):
     """Every SQL✓ operator must stay JVM-side (whole-stage codegen),
     never fall into ArrowEvalPython/BatchEvalPython."""
     exceptions = {
-        "udf_grouped_map", "udf_grouped_agg",  # UDF surface ops
+        "udf_grouped_map", "udf_grouped_agg", "udtf_sent_split",  # UDF surface ops
         # multimodal ops: binary decode is inherently an Arrow/Python stage
         # (that IS the op); their SQL twins oracle the generator formulas
         "mm_image_meta", "mm_frame_sample", "mm_audio_features",

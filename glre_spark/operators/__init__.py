@@ -67,6 +67,69 @@ def all_oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver-window priority. The driver's CORRECTNESS snapshot takes the first
+# 50 ``queries()`` entries in registry order, so ops that have never had a
+# driver row (r01+r02 union: windows, scalar-fn families, text_*, sinks/ckpt,
+# the UDF surface, udtf, sort_within_part, scan_docred_json) register FIRST,
+# followed by the flagship / kg / ann / mm families; the twice-proven plain
+# relational ops (scans/filters/joins/aggs/sets) fill the tail. Names absent
+# from this list keep their module-import order after it.
+_PRIORITY: list[str] = [
+    # -- never driver-checked through r02 (29) --
+    "win_rownum_topk",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_frame_agg",
+    "win_ntile_pct",
+    "win_tumbling",
+    "win_sliding",
+    "win_session",
+    "date_fns",
+    "math_fns",
+    "arr_explode",
+    "arr_fns",
+    "map_fns",
+    "json_fns",
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    "udf_scalar_pandas",
+    "udf_iter_pandas",
+    "udtf_sent_split",
+    "sort_within_part",
+    "scan_docred_json",
+    "sink_triples",
+    "sink_entities",
+    "sink_metrics",
+    "ckpt_manifest",
+    # -- streaming surface (new in r3) --
+    "stateful_user_totals",
+    # -- flagship + LLM-pipeline families (proven, kept in-window) --
+    "glre_extract_text",
+    "glre_infer_triples",
+    "glre_cluster_entities",
+    "glre_entity_table",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "simhash_dedup",
+    "minhash_sig",
+    "lsh_band",
+    "lsh_candidates",
+    "cc_label_prop",
+    "canonicalize",
+    "dedup_triples",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_lsh_topk",
+    "mm_image_meta",
+    "mm_image_ahash",
+    "mm_frame_sample",
+    "mm_audio_features",
+]
+
 
 def _ensure_loaded() -> None:
     global _LOADED
@@ -80,9 +143,14 @@ def _ensure_loaded() -> None:
             scans,
             sets_sorts,
             sinks_ops,
+            streaming_ops,
             textops,
             udfops,
             windows_ops,
         )
 
+        ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+        ordered.update((n, v) for n, v in REGISTRY.items() if n not in ordered)
+        REGISTRY.clear()
+        REGISTRY.update(ordered)
         _LOADED = True

@@ -86,16 +86,47 @@ def relational_job(pages):
     return top.join(df, "tok")
 
 
+def _completed_stages(spark) -> list[dict]:
+    """Per-stage metrics from the UI REST API (spark.ui.enabled required).
+    runTime is summed task time (ms); cpuTime is on-CPU ns→ms — their gap
+    is scheduler wait + I/O + GIL/Arrow stalls, the scaling suspects."""
+    import json as _json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    ) as r:
+        stages = _json.load(r)
+    out = []
+    for s in stages:
+        out.append(
+            {
+                "stage_id": s["stageId"],
+                "name": s["name"].split("\n")[0][:80],
+                "tasks": s["numCompleteTasks"],
+                "run_ms": s["executorRunTime"],
+                "cpu_ms": s.get("executorCpuTime", 0) // 1_000_000,
+                "shuf_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "shuf_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+            }
+        )
+    return out
+
+
 def run_level(
     cores: int, n_docs: int, pages_path: str, warmup_docs: int = 2000,
-    job: str = "flagship",
+    job: str = "flagship", stage_dump: bool = False,
 ) -> dict:
     from glre_spark.datagen import pages_df
     from glre_spark.pipeline import build_triples
     from glre_spark.session import get_spark
 
     spark = get_spark(
-        f"glre_scaling_{cores}", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS
+        f"glre_scaling_{cores}", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={"spark.ui.enabled": "true"} if stage_dump else None,
     )
     if job == "relational":
         run = lambda p: relational_job(p).count()  # noqa: E731
@@ -124,7 +155,18 @@ def run_level(
         n_out = run(pages)
         walls.append(time.time() - t0)
     wall = min(walls[1:])
+    stages = None
+    if stage_dump:
+        # one extra instrumented run; keep only ITS stages (id > watermark)
+        before = max((s["stage_id"] for s in _completed_stages(spark)), default=-1)
+        t0 = time.time()
+        run(pages)
+        dump_wall = time.time() - t0
+        stages = [s for s in _completed_stages(spark) if s["stage_id"] > before]
+        stages.sort(key=lambda s: s["stage_id"])
+        stages.append({"name": "TOTAL_dump_run", "wall_s": round(dump_wall, 2)})
     return {
+        **({"stages": stages} if stages else {}),
         "cores": cores,
         "n_docs": n_docs,
         "job": job,
@@ -145,12 +187,20 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--job", default="flagship", choices=["flagship", "relational", "sigscan"]
     )
+    ap.add_argument("--stages", action="store_true", help="per-stage metric dump")
     args = ap.parse_args(argv)
     if args.materialize:
         materialize(args.materialize, args.n_docs)
         print(json.dumps({"materialized": args.materialize, "n_docs": args.n_docs}))
         return 0
-    print(json.dumps(run_level(args.cores, args.n_docs, args.pages, job=args.job)))
+    print(
+        json.dumps(
+            run_level(
+                args.cores, args.n_docs, args.pages, job=args.job,
+                stage_dump=args.stages,
+            )
+        )
+    )
     return 0
 
 

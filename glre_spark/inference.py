@@ -48,13 +48,6 @@ def _get_model(weights=None, seed: int = MODEL_SEED) -> GLREModel:
     return model
 
 
-def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
-    pdf = pd.DataFrame(rows, columns=PRED_COLS)
-    return pdf.astype(
-        {"h": np.int32, "t": np.int32, "score": np.float64}, errors="ignore"
-    )
-
-
 LEAN_SCHEMA = (
     "h_name string, r string, t_name string, score double, url string, "
     "n_pred_rows long"

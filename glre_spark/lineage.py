@@ -32,9 +32,11 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+# batch_wall_ms is the wall clock of the WHOLE (re)start batch that
+# committed the row (all groups share one job/pass), not a per-group time.
 MANIFEST_SCHEMA = (
     "run_id string, bucket_group int, status string, input_rows long, "
-    "triples long, wall_ms long, committed_at timestamp"
+    "triples long, batch_wall_ms long, committed_at timestamp"
 )
 
 
@@ -43,11 +45,19 @@ def manifest_path(base: str) -> str:
 
 
 def read_manifest(spark: SparkSession, base: str) -> DataFrame:
+    """Empty manifest ONLY for a missing path (first run). Any other read
+    error (corrupt files, permissions) re-raises: silently reporting zero
+    completed groups would trigger a full-corpus recompute at scale and
+    mask manifest corruption."""
+    from pyspark.errors import AnalysisException
+
     path = manifest_path(base)
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
 
 
 def append_manifest_rows(
@@ -58,7 +68,7 @@ def append_manifest_rows(
     df = spark.createDataFrame(
         rows,
         "run_id string, bucket_group int, status string, input_rows long, "
-        "triples long, wall_ms long",
+        "triples long, batch_wall_ms long",
     ).withColumn("committed_at", F.current_timestamp())
     df.coalesce(1).write.mode("append").parquet(manifest_path(base))
 
@@ -106,22 +116,41 @@ def _process_groups(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    in_rows = obs.get  # populated by the write action above
-    # per-group output counts from the (small) written triples, one scan
-    out_counts = {
-        r.bucket_group: r.n
-        for r in spark.read.parquet(os.path.join(base, "triples"))
-        .filter(F.col("bucket_group").isin([int(g) for g in groups]))
-        .groupBy("bucket_group")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    wall_ms = int((time.time() - t0) * 1000)
+    try:
+        in_rows = obs.get  # populated by the write action above
+    except Exception:
+        # an all-empty input lets Catalyst collapse the observe node to a
+        # LocalRelation — no metrics row exists; all groups saw 0 rows
+        in_rows = {}
+    # per-group output counts from the (small) written triples, one scan;
+    # an all-filtered/empty corpus writes no partition dirs at all, so the
+    # read-back may find an unreadable (schema-less) target → 0-triple groups
+    from pyspark.errors import AnalysisException
+
+    try:
+        out_counts = {
+            r.bucket_group: r.n
+            for r in spark.read.parquet(os.path.join(base, "triples"))
+            .filter(F.col("bucket_group").isin([int(g) for g in groups]))
+            .groupBy("bucket_group")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    except AnalysisException:
+        out_counts = {}
+    batch_wall_ms = int((time.time() - t0) * 1000)
     append_manifest_rows(
         spark,
         base,
         [
-            (run_id, int(g), "done", int(in_rows[f"g{g}"]), int(out_counts.get(g, 0)), wall_ms)
+            (
+                run_id,
+                int(g),
+                "done",
+                int(in_rows.get(f"g{g}", 0)),
+                int(out_counts.get(g, 0)),
+                batch_wall_ms,
+            )
             for g in groups
         ],
     )

@@ -202,19 +202,42 @@ cand AS (
 )
 
 
-def _capped_candidates(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
-    # Materialize the band table ONCE: the minhash signature expression
-    # (all-shingles × 8 md5s) dominates, and the size-filter + self-join
-    # would otherwise recompute it 3×. On a cluster this is "write the
-    # signature table, then join" — localCheckpoint is the local analog.
+# One-entry memo shared by the dedup family (lsh_candidates,
+# dedup_ngram_jaccard, udf_grouped_map all start from the same capped band
+# table): keyed on (application, sf_dir, cap) so a new session or input
+# recomputes. The evicted epoch's checkpoint blocks are released by the
+# ContextCleaner once the old DataFrame is unreferenced (localCheckpoint
+# RDDs are not in the SQL cache manager, so there is no explicit
+# DataFrame-level unpersist for them).
+_BANDS_CACHE: dict[tuple, object] = {}
+
+
+def capped_bands(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
+    """Size-capped LSH band table (doc_id, band_id, band_hash), materialized
+    ONCE per (session, input): the minhash signature expression
+    (all-shingles × 8 permutations) dominates, and every downstream
+    consumer (self-join, pairwise verify, grouped-map) would otherwise
+    recompute it. On a cluster this is "write the signature table, then
+    join" — localCheckpoint is the local analog."""
+    key = (spark.sparkContext.applicationId, sf_dir, max_block)
+    hit = _BANDS_CACHE.get(key)
+    if hit is not None:
+        return hit
     bands = lsh_band(spark, sf_dir).localCheckpoint(eager=True)
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
-    bands = bands.join(
+    capped = bands.join(
         F.broadcast(
             sizes.filter(F.col("bn") <= max_block).select("band_id", "band_hash")
         ),
         ["band_id", "band_hash"],
     )
+    _BANDS_CACHE.clear()
+    _BANDS_CACHE[key] = capped
+    return capped
+
+
+def _capped_candidates(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
+    bands = capped_bands(spark, sf_dir, max_block)
     a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_hash")
     b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_hash")
     return (

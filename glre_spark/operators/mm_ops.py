@@ -100,10 +100,11 @@ def mm_image_ahash(spark, sf_dir):
 )
 def mm_frame_sample(spark, sf_dir):
     """Frame sampling: decode the video binary, keep every 4th frame
-    (fan-out inside the Arrow stage), then count per doc. Spark counts the
-    actually-materialized frames; the oracle computes ceil(n/4) from the
-    generator formula."""
-    from glre_spark.multimodal import gen_video, sample_frames
+    (fan-out inside the Arrow stage), then count per doc. BOTH output
+    columns are byte-derived: n_frames rides out of the decode as the
+    parsed GVID header count, n_sampled counts the materialized frames;
+    only the oracle recomputes the generator formulas."""
+    from glre_spark.multimodal import decode_video, gen_video
 
     media = _media_df(spark, sf_dir, gen_video)
 
@@ -111,21 +112,17 @@ def mm_frame_sample(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
-                for idx, _frame in sample_frames(b, every=4):
-                    rows.append((int(doc_id), idx))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx"]).astype(
-                {"doc_id": "int64", "frame_idx": "int32"}
-            )
+                decoded = decode_video(bytes(b))
+                for idx in range(0, decoded.shape[0], 4):
+                    rows.append((int(doc_id), int(decoded.shape[0]), idx))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx"]
+            ).astype({"doc_id": "int64", "n_frames": "int32", "frame_idx": "int32"})
 
-    sampled = media.mapInPandas(frames, "doc_id long, frame_idx int")
-    return (
-        sampled.groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("n_sampled"))
-        .select(
-            "doc_id",
-            (F.lit(8) + F.col("doc_id") % 24).cast("int").alias("n_frames"),
-            "n_sampled",
-        )
+    sampled = media.mapInPandas(frames, "doc_id long, n_frames int, frame_idx int")
+    return sampled.groupBy("doc_id").agg(
+        F.first("n_frames").alias("n_frames"),
+        F.count("*").cast("int").alias("n_sampled"),
     )
 
 

@@ -12,24 +12,40 @@ from pyspark.sql import functions as F
 from glre_spark.operators import load, op
 
 
-@op(
-    "udf_grouped_map",
-    # SQL twin: identical semantics to the relational blocked-jaccard
-    """WITH d AS (
-         SELECT doc_id, n_chars,
-                list_distinct(list_transform(
-                  range(1, greatest(length(text) - 1, 2)),
-                  i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
-         FROM documents
-       )
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 4) + 0 AS jaccard
-       FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+def _grouped_map_sql():
+    # same contract as dedup_ngram_jaccard's relational verify: exact
+    # 3-gram jaccard over the capped LSH candidate pairs
+    from glre_spark.operators.kgops import _CAND_CTES
+
+    return (
+        "WITH "
+        + _CAND_CTES
+        + """,
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 2)),
+           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+  FROM documents
 )
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(da.sh, db.sh))) + 1e-9, 4) + 0 AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.id_a
+JOIN d db ON db.doc_id = c.id_b"""
+    )
+
+
+@op("udf_grouped_map", _grouped_map_sql())
 def udf_grouped_map(spark, sf_dir):
-    """groupBy(block).applyInPandas — per-LSH-block pairwise verification
-    in vectorized pandas (the §2.12 verify-step as a grouped-map UDF)."""
+    """groupBy(LSH band bucket).applyInPandas — per-block pairwise jaccard
+    verification in vectorized pandas (the §2.12 verify-step as a
+    grouped-map UDF). Blocks on the size-capped ``band_hash`` table shared
+    with lsh_candidates/dedup_ngram_jaccard: a content-signature key, so a
+    uniform-length corpus cannot flood one block the way the earlier
+    exact-n_chars key could, and block size is bounded by MAX_LSH_BLOCK.
+    Pairs co-bucketed in several bands emit identical rows → distinct()."""
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -48,9 +64,14 @@ def udf_grouped_map(spark, sf_dir):
             {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
         )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
-    return docs.groupBy("n_chars").applyInPandas(
-        block_pairs, "id_a long, id_b long, jaccard double"
+    from glre_spark.operators.kgops import capped_bands
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = capped_bands(spark, sf_dir).join(docs, "doc_id")
+    return (
+        blocks.groupBy("band_id", "band_hash")
+        .applyInPandas(block_pairs, "id_a long, id_b long, jaccard double")
+        .distinct()
     )
 
 

@@ -13,7 +13,7 @@ post-link shuffles (SURVEY.md §4.2-4.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from glre_spark.inference import broadcast_weights, infer_stage
@@ -29,12 +29,20 @@ def url_bucket(col=None):
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
-    """join_asof flavor: keep the newest warc_ts crawl per url."""
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    """join_asof flavor: keep the newest warc_ts crawl per url.
+
+    Hash-aggregate (max_by over the row struct), NOT a sort-window: the
+    rows are fat (html binary), and an agg gets map-side partial combine —
+    recrawl duplicates collapse BEFORE the exchange and nothing is sorted —
+    where row_number() must exchange every row, sort each partition, then
+    discard the losers (r02 flagship-scaling suspect #1). Ties on warc_ts
+    cannot occur: datagen guarantees a recrawl's warc_ts is strictly
+    later (datagen.py), and CC-style WARC timestamps are per-fetch."""
+    payload = [c for c in pages.columns if c != "url"]
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.groupBy("url")
+        .agg(F.max_by(F.struct(*payload), F.col("warc_ts")).alias("_row"))
+        .select("url", *[F.col(f"_row.{c}").alias(c) for c in payload])
     )
 
 
@@ -52,8 +60,8 @@ def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True
         .filter(F.length("text").between(1, MAX_DOC_CHARS))
     )
     df = latest_per_url(df)
-    # latest_per_url's window already exchanged rows by hash(url) — that IS
-    # the explicit url-hash partitioning the north rule asks for. A second
+    # latest_per_url's aggregation already exchanged rows by hash(url) —
+    # that IS the explicit url-hash partitioning the north rule asks for. A second
     # repartition("bucket") here would re-shuffle the fat html rows for
     # nothing; `bucket` stays as the deterministic lineage-key COLUMN
     # (resume filtering), decoupled from physical task count. Pass

@@ -96,3 +96,24 @@ def test_dedup_triples_keeps_max_score(spark):
     got = {(r.subj, r.pred, r.obj): (r.score, r.n_sources) for r in dedup_triples(t).collect()}
     assert got[("a", "P1", "b")] == (0.9, 2)
     assert got[("a", "P2", "b")] == (0.7, 1)
+
+
+def test_grouped_map_band_blocking_no_quadratic_on_uniform_length(spark, tmp_path):
+    """Regression for the n_chars blocking key: 300 equal-length but
+    unrelated docs must NOT form one 300-doc block (44,850 pairs). LSH
+    band_hash blocks on content signature, so unrelated docs co-bucket
+    only by hash accident."""
+    import random
+
+    from glre_spark.operators.udfops import udf_grouped_map
+
+    rnd = random.Random(7)
+    rows = [
+        (i, "".join(rnd.choice("abcdefghij ") for _ in range(200)))
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    n_pairs = udf_grouped_map(spark, str(tmp_path)).count()
+    assert n_pairs < 500, f"uniform-length corpus exploded into {n_pairs} pairs"

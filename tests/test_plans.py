@@ -99,4 +99,7 @@ def test_aggregate_early_before_linking(spark):
     assert sum(("HashAggregate" in l) or ("SortAggregate" in l) for l in tree) >= 3
     # exactly two Python stages: corpus gen + the fused inference stage
     assert sum("MapInPandas" in l for l in tree if "(" in l) >= 2
-    assert "WindowGroupLimit" in plan  # as-of top-1 pushed below the shuffle
+    # as-of dedup is a max_by aggregation with a map-side partial combine
+    # (recrawls collapse BEFORE the fat-row exchange), not a sort-window
+    assert "partial_max_by" in plan
+    assert "Window" not in plan  # no window operator anywhere in the flagship

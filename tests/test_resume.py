@@ -43,3 +43,35 @@ def test_crash_and_resume_equals_single_run(spark, tmp_path):
     per_group = manifest.filter("status='done'").groupBy("bucket_group").count()
     assert per_group.filter("count > 1").isEmpty()
     assert per_group.count() == GROUPS
+
+
+def test_missing_manifest_is_empty_first_run(spark, tmp_path):
+    m = read_manifest(spark, str(tmp_path / "never_ran"))
+    assert m.count() == 0
+
+
+def test_corrupt_manifest_fails_loudly(spark, tmp_path):
+    """A damaged manifest must crash the resume, not silently report zero
+    completed groups (which would recompute the full corpus at scale)."""
+    from pathlib import Path
+
+    from glre_spark.lineage import manifest_path
+
+    base = str(tmp_path / "run")
+    run_with_checkpoints(spark, pages_df(spark, 20, partitions=2), base, n_groups=2)
+    for f in Path(manifest_path(base)).glob("*.parquet"):
+        f.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|FAILED_READ_FILE"):
+        pending_groups(spark, base, 2)
+
+
+def test_empty_corpus_commits_zero_triple_groups(spark, tmp_path):
+    """All-filtered input writes no triple partitions at all; the manifest
+    must still commit every group with 0 rows instead of crashing on the
+    schema-less read-back."""
+    base = str(tmp_path / "empty")
+    pages = pages_df(spark, 4, partitions=1).filter("1=0")
+    run_with_checkpoints(spark, pages, base, n_groups=2)
+    m = read_manifest(spark, base).filter("status='done'").collect()
+    assert len(m) == 2
+    assert all(r.triples == 0 and r.input_rows == 0 for r in m)

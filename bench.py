@@ -46,6 +46,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_fingerprint",
         "simhash_dedup",
         "cc_label_prop",
@@ -56,10 +57,17 @@ def main() -> None:
     # estimate (same protocol as bench_scaling).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    from glre_spark.operators.kgops import _BANDS_CACHE
+
     for name in headline:
         fn, _ = REGISTRY[name]
         best = None
         for _ in range(runs):
+            if name == "lsh_candidates":
+                # charge the shared band-table build to THIS op on every
+                # run (dedup_ngram_jaccard then reuses it, as the real
+                # pipeline would: signatures are written once per corpus)
+                _BANDS_CACHE.clear()
             t0 = time.time()
             # noop sink, NOT count(): count() lets Catalyst prune every
             # computed column of a pure projection (e.g. the whole MinHash

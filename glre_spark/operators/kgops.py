@@ -661,6 +661,144 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# --- IVF ANN (inverted-file partitioning) -----------------------------------
+_IVF_K = 8      # seed centroids = the embeddings of vec_ids 1..K (a real
+                # deployment would k-means them; the partition/probe/re-rank
+                # mechanics — the scale path — are identical)
+_IVF_PROBE = 4  # clusters probed per query (measured recall 0.8 vs brute
+                # force at sf0.001 AND sf0.01 while scanning ~half the rows;
+                # this corpus is only weakly clustered, cos(top10) ≈ 0.3)
+
+_IVF_SQL = f"""WITH cents AS (
+  SELECT vec_id AS cid, UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS c
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_K}
+),
+vq AS (
+  SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT vq.vec_id, cents.cid, SUM(vq.x * cents.c) AS dot
+  FROM vq JOIN cents USING (idx) GROUP BY vq.vec_id, cents.cid
+),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM dots) WHERE rn = 1
+),
+probe AS (
+  SELECT cid AS cluster FROM (
+    SELECT cid, row_number() OVER (ORDER BY dot DESC, cid) AS rn
+    FROM dots WHERE vec_id = 0) WHERE rn <= {_IVF_PROBE}
+),
+q AS (
+  SELECT UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+d AS (
+  SELECT e.vec_id, UNNEST(range(1, len(e.embedding) + 1)) AS idx,
+         CAST(UNNEST(e.embedding) AS DOUBLE) AS v
+  FROM embeddings e
+  JOIN asg ON asg.vec_id = e.vec_id
+  JOIN probe ON asg.cluster = probe.cluster
+  WHERE e.vec_id <> 0
+),
+pr AS (
+  SELECT d.vec_id, SUM(d.v * q.v) AS dot,
+         sqrt(SUM(d.v * d.v)) AS nd, sqrt(SUM(q.v * q.v)) AS nq
+  FROM d JOIN q USING (idx) GROUP BY d.vec_id
+)
+SELECT vec_id, ROUND(dot / (nd * nq) + 1e-9, 4) + 0 AS cos_sim
+FROM pr ORDER BY cos_sim DESC, vec_id LIMIT {{limit}}""".format(limit=10)
+
+
+@op("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the other scale path beside LSH): assign every vector to
+    its nearest of K seed centroids, probe only the query's top-P
+    partitions, exact cosine re-rank of that subset. At scale the
+    assignment is one narrow scan + per-row argmax against a broadcast
+    centroid table (here: K×64 int literals — centroids ARE cluster
+    metadata, driver-sized by construction), and the probed partitions
+    would be partition-pruned reads of an `ivf_cluster`-partitioned table.
+
+    Centroid assignment runs on FLOOR(x*1000) integer quantization: the
+    int dot products are exact in both engines regardless of summation
+    order, so the Spark and DuckDB cluster assignments are identical (a
+    float argmax could flip near ties — same trick as the ±1 LSH planes
+    above). The final cosine uses the full-precision floats."""
+    emb = load(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    cmap = {
+        int(r.vec_id): [int(v) for v in r.qv]
+        for r in emb.filter(F.col("vec_id").between(1, _IVF_K))
+        .select("vec_id", qcol.alias("qv"))
+        .collect()
+    }
+
+    def int_dot(cvals):
+        arr = F.array(*[F.lit(v) for v in cvals])
+        return F.aggregate(
+            F.zip_with(qcol, arr, lambda x, c: x * c),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    # argmax centroid, ties → smallest cid (struct max: dot, then -cid)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(int_dot(cmap[cid]).alias("d"), F.lit(-cid).alias("nc"))
+                for cid in sorted(cmap)
+            ]
+        )
+    )
+    assigned = emb.withColumn("cluster", -best["nc"])
+
+    # the query's probe set, same exact integer rule, computed once
+    qv = [
+        int(v)
+        for v in emb.filter("vec_id = 0").select(qcol.alias("qv")).collect()[0].qv
+    ]
+    qdots = sorted(
+        ((sum(a * b for a, b in zip(qv, cmap[cid])), -cid) for cid in cmap),
+        reverse=True,
+    )
+    probe = [-nc for _, nc in qdots[:_IVF_PROBE]]
+
+    cand = assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    joined = cand.crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = fround(
+        dot(F.col("embedding"), F.col("qe"))
+        / (
+            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        ),
+        4,
+    )
+    return (
+        joined.select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @op("simhash_dedup", None)  # bit-twiddling hash → rows-only (pytest has a python oracle)
 def simhash_dedup(spark, sf_dir):
     """64-bit SimHash per document via an Arrow-batched pandas UDF

@@ -124,8 +124,9 @@ _PRIORITY: list[str] = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_lsh_topk",
-    "ann_ivf_topk",  # new in r3 → takes the window slot of mm_audio_features
-                     # (green in CORRECTNESS_r02, slides to the tail)
+    "ann_ivf_topk",           # new in r3 — these two take the window slots
+    "dedup_embedding_cosine",  # of mm_frame_sample/mm_audio_features
+                               # (green in CORRECTNESS_r02, slide to tail)
     "mm_image_meta",
     "mm_image_ahash",
     "mm_frame_sample",

@@ -661,6 +661,107 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# --- embedding-cosine near-dup (the 5th dedup family of the brief) ----------
+_EDUP_THRESH = 0.4   # this synthetic corpus is near-orthogonal (max pairwise
+                     # cos 0.51); 59 true pairs ≥ 0.4 corpus-wide at sf0.01
+_EDUP_CAP = 128      # per-(table, bucket) size cap — same cartesian-bomb
+                     # guard as MAX_LSH_BLOCK; at web scale you also raise
+                     # _LSH_BITS so expected bucket size stays constant
+
+
+def _edup_bucket_selects() -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_sql(_topk_table_planes(t))} AS bkt "
+        "FROM embeddings"
+        for t in range(_LSH_L)
+    )
+
+
+def _edup_sql() -> str:
+    return f"""WITH b AS ({_edup_bucket_selects()}),
+sized AS (
+  SELECT tbl, bkt FROM b GROUP BY tbl, bkt HAVING COUNT(*) <= {_EDUP_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a
+  JOIN sized s ON a.tbl = s.tbl AND a.bkt = s.bkt
+  JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt
+  WHERE a.vec_id < c.vec_id
+),
+da AS (
+  SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS idx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pr AS (
+  SELECT c.id_a, c.id_b, SUM(x.v * y.v) AS dot,
+         sqrt(SUM(x.v * x.v)) AS na, sqrt(SUM(y.v * y.v)) AS nb
+  FROM cand c
+  JOIN da x ON x.vec_id = c.id_a
+  JOIN da y ON y.vec_id = c.id_b AND y.idx = x.idx
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(dot / (na * nb) + 1e-9, 4) + 0 AS cos_sim
+FROM pr WHERE ROUND(dot / (na * nb) + 1e-9, 4) + 0 >= {_EDUP_THRESH}"""
+
+
+@op("dedup_embedding_cosine", _edup_sql())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brief's 5th dedup family
+    beside exact / MinHash-LSH / SimHash / n-gram-Jaccard): candidates =
+    vectors sharing ANY of the L sign-LSH table buckets (never all-pairs;
+    per-bucket size capped), then exact cosine on candidates only,
+    keeping pairs ≥ _EDUP_THRESH (0.4). The threshold test runs on the
+    ROUNDED value in both engines so the keep/drop decision is
+    bit-identical. Per-table match probability at cos 0.4 is
+    (1 − θ/π)³ ≈ 0.25 → ≈0.9 recall over the 8 tables (same plane family
+    as ann_lsh_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_bucket_col(_topk_table_planes(t)) for t in range(_LSH_L)])
+        ).alias("tbl", "bkt"),
+    )
+    sized = (
+        buckets.groupBy("tbl", "bkt")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= _EDUP_CAP)
+        .select("tbl", "bkt")
+    )
+    capped = buckets.join(F.broadcast(sized), ["tbl", "bkt"])
+    a = capped.select(F.col("vec_id").alias("id_a"), "tbl", "bkt")
+    c = capped.select(F.col("vec_id").alias("id_b"), "tbl", "bkt")
+    cand = (
+        a.join(c, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = fround(
+        dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        4,
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _EDUP_THRESH)
+    )
+
+
 # --- IVF ANN (inverted-file partitioning) -----------------------------------
 _IVF_K = 8      # seed centroids = the embeddings of vec_ids 1..K (a real
                 # deployment would k-means them; the partition/probe/re-rank

@@ -60,3 +60,23 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(brute) == 10
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.75, f"IVF recall {recall} < 0.75"
+
+
+def test_embedding_neardup_recall(spark):
+    """dedup_embedding_cosine must recover ≥0.8 of ALL true pairs at the
+    threshold (brute-force numpy oracle over the full corpus)."""
+    import numpy as np
+
+    from glre_spark.operators.kgops import _EDUP_THRESH, dedup_embedding_cosine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").orderBy("vec_id")
+    E = np.array([np.array(r.embedding, dtype=np.float64) for r in emb.collect()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    np.fill_diagonal(C, 0)
+    ii, jj = np.where(np.round(C + 1e-9, 4) >= _EDUP_THRESH)
+    truth = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    got = {(r.id_a, r.id_b) for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"near-dup recall {recall:.2f} < 0.8 ({len(got)}/{len(truth)})"

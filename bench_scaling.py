@@ -182,8 +182,18 @@ def main() -> int:
     results: dict[str, dict] = {}
     for job, nd in jobs.items():
         # min across THIS session's interleaved rounds AND any cached prior
-        # session (both levels draw from the same session set — fair)
+        # session (both levels draw from the same session set — fair).
+        # A cached entry only participates if it measured the SAME workload
+        # at the SAME cluster sizes — otherwise a stale 5k-doc or different-N
+        # best would win the min and mask regressions.
         prior = cache.get(job)
+        if prior and not (
+            prior["lo"].get("n_docs") == nd
+            and prior["lo"].get("cores") == args.n
+            and prior["hi"].get("cores") == args.n * 4
+        ):
+            print(f"# discarding incompatible cached {job} result", file=sys.stderr)
+            prior = None
         lo_best = prior["lo"] if prior else None
         hi_best = prior["hi"] if prior else None
         for _ in range(args.rounds if job in todo else 0):
@@ -205,6 +215,12 @@ def main() -> int:
 
     def stage_rows(d: dict) -> str:
         rows = [x for x in d.get("stages") or [] if "stage_id" in x]
+        if not rows:
+            return (
+                f"`local[{d['cores']}]` — no instrumented run available for this "
+                "best (cached from a pre-instrumentation session); re-run with "
+                "--jobs flagship to regenerate."
+            )
         dump_wall = next(
             (x["wall_s"] for x in d.get("stages") or [] if x.get("name") == "TOTAL_dump_run"),
             None,

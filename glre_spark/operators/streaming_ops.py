@@ -35,21 +35,11 @@ def stateful_user_totals_op(spark, sf_dir):
     update mode, then reduce the emitted updates to the final state per
     user (max_by on the strictly-increasing n_events). Equals the batch
     groupBy — the batch↔stream parity contract of §2.10."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from glre_spark.streaming import read_events_stream, run_stream_to_memory
-
-    def fn(key, pdfs, state):
-        (user_id,) = key
-        total, vcents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            total += len(pdf)
-            vcents += int((pdf["value"] * 100).round().astype("int64").sum())
-        state.update((total, vcents))
-        yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [total], "sum_cents": [vcents]}
-        )
+    from glre_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_totals,
+    )
 
     src_dir = tempfile.mkdtemp(prefix="stateful_events_")
     name = f"stateful_totals_mem_{next(_MEM_SEQ)}"
@@ -57,16 +47,8 @@ def stateful_user_totals_op(spark, sf_dir):
         load(spark, sf_dir, "events").repartition(12).write.mode("overwrite").parquet(
             src_dir
         )
-        updates = (
-            read_events_stream(spark, src_dir)
-            .groupBy("user_id")
-            .applyInPandasWithState(
-                fn,
-                outputStructType="user_id long, n_events long, sum_cents long",
-                stateStructType="n long, c long",
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout,
-            )
+        updates = stateful_user_totals(
+            read_events_stream(spark, src_dir), exact_cents=True
         )
         run_stream_to_memory(updates, name, mode="update")
         return (

@@ -37,11 +37,15 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     where row_number() must exchange every row, sort each partition, then
     discard the losers (r02 flagship-scaling suspect #1). Ties on warc_ts
     cannot occur: datagen guarantees a recrawl's warc_ts is strictly
-    later (datagen.py), and CC-style WARC timestamps are per-fetch."""
+    later (datagen.py), and CC-style WARC timestamps are per-fetch.
+    NULL warc_ts is coalesced to the epoch so a url whose crawls ALL lack
+    a timestamp still keeps one real row (max_by skips NULL ordering
+    keys, which would otherwise emit an all-NULL payload)."""
     payload = [c for c in pages.columns if c != "url"]
+    ts = F.coalesce(F.col("warc_ts"), F.to_timestamp(F.lit("1970-01-01")))
     return (
         pages.groupBy("url")
-        .agg(F.max_by(F.struct(*payload), F.col("warc_ts")).alias("_row"))
+        .agg(F.max_by(F.struct(*payload), ts).alias("_row"))
         .select("url", *[F.col(f"_row.{c}").alias(c) for c in payload])
     )
 

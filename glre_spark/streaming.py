@@ -47,42 +47,70 @@ def session_aggregate(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
-def stateful_user_totals(events: DataFrame) -> DataFrame:
+def stateful_user_totals(events: DataFrame, exact_cents: bool = False) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (SURVEY.md
     §2.10 / brief: "applyInPandasWithState for custom stateful
     operators"): running per-user totals carried in explicit group state
     across micro-batches — the arbitrary-stateful shape that windowed aggs
     can't express (e.g. a streaming resume manifest or per-url crawl
-    state). Emits the updated running total once per (user, micro-batch)."""
+    state). Emits the updated running total once per (user, micro-batch).
+
+    ``exact_cents=True`` accumulates integer cents (HALF_UP on the exact
+    half, matching F.round and DuckDB ROUND) and emits ``sum_cents`` —
+    the order-independent encoding the oracle-checked operator needs.
+    The default float ``sum_value`` keeps the simpler demo shape."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs, state):
         (user_id,) = key
-        total, vsum = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            total += len(pdf)
-            vsum += float(pdf["value"].sum())
-        state.update((total, vsum))
-        yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [total], "sum_value": [vsum]}
-        )
+        if exact_cents:
+            total, acc = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                total += len(pdf)
+                v = pdf["value"].to_numpy() * 100
+                # HALF_UP (away from zero), NOT pandas .round() half-even:
+                # value*100 can be binary-exact .5 and must round like the
+                # DuckDB twin's ROUND() / Spark's F.round
+                acc += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).sum())
+            state.update((total, acc))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [total], "sum_cents": [acc]}
+            )
+        else:
+            total, acc = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                total += len(pdf)
+                acc += float(pdf["value"].sum())
+            state.update((total, acc))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [total], "sum_value": [acc]}
+            )
 
+    out_type = (
+        "user_id long, n_events long, sum_cents long"
+        if exact_cents
+        else "user_id long, n_events long, sum_value double"
+    )
+    state_type = "n long, c long" if exact_cents else "n long, v double"
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType="user_id long, n_events long, sum_value double",
-        stateStructType="n long, v double",
+        outputStructType=out_type,
+        stateStructType=state_type,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, timeout_s: int = 60, mode: str = "complete"
+    df: DataFrame, name: str, timeout_s: int = 300, mode: str = "complete"
 ):
     """Drive a bounded file-source stream to completion into an in-memory
     table (test harness; production would writeStream to the lake).
-    ``mode="update"`` for arbitrary-stateful queries (complete unsupported)."""
+    ``mode="update"`` for arbitrary-stateful queries (complete unsupported).
+    Raises if the stream does not finish within ``timeout_s`` — a partial
+    memory table would silently yield wrong results downstream."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -90,5 +118,10 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} still running after {timeout_s}s; "
+            "refusing to read a partial memory sink"
+        )
     return q

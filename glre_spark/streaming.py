@@ -125,3 +125,60 @@ def run_stream_to_memory(
             "refusing to read a partial memory sink"
         )
     return q
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_pages_stream(spark: SparkSession, path: str, files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_build_triples(
+    pages_stream: DataFrame, target: str, timeout_s: int = 600
+) -> None:
+    """Incremental KG construction (the crawl-as-it-arrives shape): each
+    micro-batch of pages runs the SAME batch pipeline (pipeline.
+    build_triples — extract → GLRE inference → linking → in-batch dedup)
+    via foreachBatch and appends its triples. Cross-batch duplicates are
+    restored to the global invariant at read time by the SAME associative
+    re-aggregation lineage uses for cross-group commits (max score /
+    min url / sum n_sources are associative), so
+
+        stream(batches) → append → re-dedup  ≡  one-shot batch run
+
+    exactly — asserted in tests/test_streaming.py. Drives availableNow to
+    completion; raises on timeout rather than leaving a partial sink."""
+    from glre_spark.pipeline import build_triples
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = build_triples(spark, batch_df)
+        (
+            triples.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        pages_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target + "_ckpt")
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming KG build still running after {timeout_s}s")
+
+
+def read_stream_triples(spark: SparkSession, target: str) -> DataFrame:
+    """Re-apply the global dedup invariant over the appended batches."""
+    from glre_spark.linking import dedup_triples
+
+    return dedup_triples(spark.read.parquet(target).drop("batch_id"))

@@ -68,3 +68,33 @@ def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_kg_build_equals_batch(spark, tmp_path):
+    """Incremental KG construction: pages streamed in micro-batches
+    through the SAME pipeline, appended, then re-deduped must equal the
+    one-shot batch run EXACTLY (associative re-aggregation)."""
+    from glre_spark.datagen import pages_df
+    from glre_spark.pipeline import build_triples
+    from glre_spark.streaming import (
+        read_pages_stream,
+        read_stream_triples,
+        stream_build_triples,
+    )
+
+    src = str(tmp_path / "pages_src")
+    target = str(tmp_path / "stream_triples")
+    pages = pages_df(spark, 120, partitions=8)  # 8 files / 4 per trigger → 2+ batches
+    pages.write.parquet(src)
+
+    stream_build_triples(read_pages_stream(spark, src), target)
+
+    got = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in read_stream_triples(spark, target).collect()
+    }
+    want = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in build_triples(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) > 0

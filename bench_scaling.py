@@ -140,7 +140,13 @@ stage scales: it could not reach 0.8 if the kernel plateaued at the low
 end of the burn range.
 """
     if marker in md:
-        md = md[: md.index(marker)] + section
+        # replace only THIS marker section's span (up to the next '## '
+        # heading, if any) — sections appended after it by other tooling
+        # must survive
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + len(marker))
+        tail = md[nxt + 1 :] if nxt != -1 else ""
+        md = md[:start] + section + tail
     else:
         md += "\n" + section
     md_path.write_text(md)
@@ -189,8 +195,11 @@ def main() -> int:
         prior = cache.get(job)
         if prior and not (
             prior["lo"].get("n_docs") == nd
+            and prior["hi"].get("n_docs") == nd
             and prior["lo"].get("cores") == args.n
             and prior["hi"].get("cores") == args.n * 4
+            and prior["lo"].get("job") == job
+            and prior["hi"].get("job") == job
         ):
             print(f"# discarding incompatible cached {job} result", file=sys.stderr)
             prior = None

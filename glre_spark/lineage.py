@@ -124,12 +124,13 @@ def _process_groups(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    try:
-        in_rows = obs.get  # populated by the write action above
-    except Exception:
-        # an all-empty input lets Catalyst collapse the observe node to a
-        # LocalRelation — no metrics row exists; all groups saw 0 rows
-        in_rows = {}
+    # No try/except here: Spark 4.1 delivers the observation even when the
+    # input is all-empty (probed: a collapsed/empty plan still yields
+    # {'g..': 0} — see tests/test_resume.py::test_obs_failure_propagates).
+    # Swallowing errors would silently commit input_rows=0 to the manifest
+    # on a genuine Py4J/runtime failure — the same silent-miscount shape
+    # read_manifest guards against.
+    in_rows = obs.get  # populated by the write action above
     # per-group output counts from the (small) written triples, one scan;
     # an all-filtered/empty corpus writes no partition dirs at all, so the
     # read-back may find an unreadable (schema-less) target → 0-triple groups

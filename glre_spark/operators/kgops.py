@@ -204,12 +204,37 @@ cand AS (
 
 # One-entry memo shared by the dedup family (lsh_candidates,
 # dedup_ngram_jaccard, udf_grouped_map all start from the same capped band
-# table): keyed on (application, sf_dir, cap) so a new session or input
-# recomputes. The evicted epoch's checkpoint blocks are released by the
-# ContextCleaner once the old DataFrame is unreferenced (localCheckpoint
+# table): keyed on (application, sf_dir, input fingerprint, cap) so a new
+# session, a different input dir, OR an overwritten documents.parquet under
+# the same path recomputes (the fingerprint folds the parquet file names,
+# sizes and mtimes). The evicted epoch's checkpoint blocks are released by
+# the ContextCleaner once the old DataFrame is unreferenced (localCheckpoint
 # RDDs are not in the SQL cache manager, so there is no explicit
 # DataFrame-level unpersist for them).
 _BANDS_CACHE: dict[tuple, object] = {}
+
+
+def _input_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap content fingerprint of a parquet table: (name, size, mtime_ns)
+    of every data file. Catches same-path overwrites within one Spark app
+    without reading any data."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
+        )
+    else:
+        files = [path]
+    out = []
+    for f in files:
+        try:
+            st = os.stat(f)
+            out.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((os.path.basename(f), -1, -1))
+    return tuple(out)
 
 
 def capped_bands(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
@@ -219,7 +244,12 @@ def capped_bands(spark, sf_dir, max_block: int = MAX_LSH_BLOCK):
     consumer (self-join, pairwise verify, grouped-map) would otherwise
     recompute it. On a cluster this is "write the signature table, then
     join" — localCheckpoint is the local analog."""
-    key = (spark.sparkContext.applicationId, sf_dir, max_block)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _input_fingerprint(sf_dir),
+        max_block,
+    )
     hit = _BANDS_CACHE.get(key)
     if hit is not None:
         return hit

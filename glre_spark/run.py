@@ -4,10 +4,11 @@ Usage:
     zip -r glre_spark.zip glre_spark
     spark-submit --py-files glre_spark.zip -m glre_spark.run ...  # or:
     spark-submit --py-files glre_spark.zip glre_spark/run.py \
-        --n-docs 5000 --out /tmp/glre_out [--resume] [--groups 8]
+        --n-docs 5000 --out /tmp/glre_out [--groups 8]
 
-Runs the flagship pipeline with checkpointed lineage; re-running with the
-same --out resumes from the manifest (exact resume).
+Runs the flagship pipeline with checkpointed lineage; resume is implicit —
+re-running with the same --out picks up the manifest and processes only
+the missing bucket groups (exact resume; no flag needed).
 """
 
 from __future__ import annotations

@@ -65,6 +65,26 @@ def test_corrupt_manifest_fails_loudly(spark, tmp_path):
         pending_groups(spark, base, 2)
 
 
+def test_obs_failure_propagates(spark, tmp_path, monkeypatch):
+    """A genuine failure inside the observation fetch must crash the run —
+    NOT be mapped to input_rows=0 in the manifest (the silent-miscount
+    shape r2's read_manifest fix removed one layer down). Spark 4.1
+    delivers metrics even for an all-empty input (see
+    test_empty_corpus_commits_zero_triple_groups), so lineage has no
+    except around obs.get; this test pins that error path open."""
+    from pyspark.sql import Observation
+
+    def boom(self):
+        raise RuntimeError("unrelated observation failure")
+
+    monkeypatch.setattr(Observation, "get", property(boom))
+    base = str(tmp_path / "obsfail")
+    with pytest.raises(RuntimeError, match="unrelated observation failure"):
+        run_with_checkpoints(spark, pages_df(spark, 10, partitions=1), base, n_groups=2)
+    # nothing was committed: the manifest records no phantom groups
+    assert read_manifest(spark, base).filter("status='done'").count() == 0
+
+
 def test_empty_corpus_commits_zero_triple_groups(spark, tmp_path):
     """All-filtered input writes no triple partitions at all; the manifest
     must still commit every group with 0 rows instead of crashing on the

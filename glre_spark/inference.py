@@ -60,6 +60,7 @@ def infer_stage_agg(
     text_col: str = "text",
     extract_html: bool = False,
     group_col: str | None = None,
+    group_type: str = "int",
 ) -> DataFrame:
     """Like infer_stage, but performs the first-level
     (h_name, r, t_name) → (max score, min url, count) aggregation INSIDE
@@ -69,9 +70,10 @@ def infer_stage_agg(
     shuffle by the same factor. The JVM's map-side combine then merges
     partitions (pipeline.predictions_to_triples).
 
-    ``group_col`` (int column, e.g. lineage bucket_group) joins the agg key
-    and rides through — the checkpointed single-pass run partitions its
-    sink by it."""
+    ``group_col`` (e.g. lineage bucket_group, or the streaming crawl_key)
+    joins the agg key and rides through — the checkpointed single-pass run
+    partitions its sink by it; ``group_type`` is its Spark type ("int" or
+    "string")."""
     from glre_spark.extract import extract_text
     from glre_spark.nlp import analyze
 
@@ -91,7 +93,14 @@ def infer_stage_agg(
                 zip(urls, docs, model.predict_batch(docs))
             ):
                 names = doc.entity_names
-                grp = int(groups.iloc[i]) if group_col else 0
+                if group_col:
+                    grp = (
+                        str(groups.iloc[i])
+                        if group_type == "string"
+                        else int(groups.iloc[i])
+                    )
+                else:
+                    grp = 0
                 for h, t, rel, score in preds:
                     key = (grp, names[h], rel, names[t])
                     cur = acc.get(key)
@@ -114,14 +123,17 @@ def infer_stage_agg(
             "n_pred_rows": pd.Series([acc[k][2] for k in keys], dtype=np.int64),
         }
         if group_col:
-            out[group_col] = pd.Series([k[0] for k in keys], dtype=np.int32)
+            out[group_col] = pd.Series(
+                [k[0] for k in keys],
+                dtype="object" if group_type == "string" else np.int32,
+            )
         yield pd.DataFrame(out)
 
     cols = ["url", df["html"]] if extract_html else ["url", df[text_col].alias("text")]
     schema = LEAN_SCHEMA
     if group_col:
         cols.append(group_col)
-        schema = f"{LEAN_SCHEMA}, {group_col} int"
+        schema = f"{LEAN_SCHEMA}, {group_col} {group_type}"
     return df.select(*cols).mapInPandas(fn, schema)
 
 

@@ -50,6 +50,15 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     )
 
 
+def eligible_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """The pipeline's admission filter (filter_lang + filter_len), factored
+    out so the streaming crawl registry applies EXACTLY the same rule: a
+    crawl excluded here must not count as a url's latest version."""
+    return pages.filter(F.col("lang") == lang).filter(
+        F.length("text").between(1, MAX_DOC_CHARS)
+    )
+
+
 def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True,
                   partitions: int | None = None,
                   carry_cols: list[str] | None = None) -> DataFrame:
@@ -59,11 +68,7 @@ def prepare_pages(pages: DataFrame, lang: str = "en", use_extractor: bool = True
     one Python stage. With ``use_extractor`` the html column is carried
     through; otherwise the trusted text column is (and html is pruned from
     the scan by Catalyst)."""
-    df = (
-        pages.filter(F.col("lang") == lang)
-        .filter(F.length("text").between(1, MAX_DOC_CHARS))
-    )
-    df = latest_per_url(df)
+    df = latest_per_url(eligible_pages(pages, lang))
     # latest_per_url's aggregation already exchanged rows by hash(url) —
     # that IS the explicit url-hash partitioning the north rule asks for. A second
     # repartition("bucket") here would re-shuffle the fat html rows for
@@ -122,7 +127,8 @@ def predictions_to_triples(
 def build_triples(spark: SparkSession, pages: DataFrame,
                   use_extractor: bool = True, partitions: int | None = None,
                   cluster_entities: bool = False,
-                  group_col: str | None = None) -> DataFrame:
+                  group_col: str | None = None,
+                  group_type: str = "int") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduped triples.
 
     ``cluster_entities=True`` adds the cross-document entity-cluster merge
@@ -130,9 +136,11 @@ def build_triples(spark: SparkSession, pages: DataFrame,
     names, linking.cluster_names) after the alias join — off by default in
     benches because the dictionary already canonicalizes this corpus.
 
-    ``group_col`` names an int column on ``pages`` (lineage bucket_group):
-    dedup becomes group-scoped and the column rides to the output so the
-    checkpointed run can partition its sink by it in ONE pass."""
+    ``group_col`` names a column on ``pages`` (lineage bucket_group int,
+    or the streaming crawl_key string — ``group_type`` gives its Spark
+    type): dedup becomes group-scoped and the column rides to the output
+    so the checkpointed run can partition its sink by it in ONE pass and
+    the streaming log can keep crawl granularity."""
     from glre_spark.linking import apply_name_clusters, cluster_names
 
     from glre_spark.inference import infer_stage_agg
@@ -143,7 +151,7 @@ def build_triples(spark: SparkSession, pages: DataFrame,
     )
     preds = infer_stage_agg(
         docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor,
-        group_col=group_col,
+        group_col=group_col, group_type=group_type,
     )
     triples = predictions_to_triples(preds, alias_dict_df(spark), group_col=group_col)
     deduped = dedup_triples(triples, extra_keys=[group_col] if group_col else [])

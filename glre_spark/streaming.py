@@ -17,10 +17,12 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, files_per_trigger: int = 4
+) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(path)
     )
 
@@ -140,26 +142,78 @@ def read_pages_stream(spark: SparkSession, path: str, files_per_trigger: int = 4
     )
 
 
+# crawl_key = url \t fixed-width timestamp: one string key identifying the
+# exact (url, warc_ts) crawl a triple came from. The timestamp format is
+# fixed-width microseconds, so WITHIN one url lexicographic order on the
+# key == chronological order of crawls, and max(crawl_key) per url is the
+# newest crawl regardless of which micro-batch delivered it. A NULL
+# warc_ts drops the suffix entirely (concat_ws skips nulls) → the bare-url
+# key sorts below every timestamped key, so an untimestamped crawl loses
+# to any timestamped recrawl, matching the batch as-of's epoch-coalesce.
+_CRAWL_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _crawl_key():
+    return F.concat_ws(
+        "\t", F.col("url"), F.date_format(F.col("warc_ts"), _CRAWL_TS_FMT)
+    )
+
+
 def stream_build_triples(
     pages_stream: DataFrame, target: str, timeout_s: int = 600
 ) -> None:
     """Incremental KG construction (the crawl-as-it-arrives shape): each
     micro-batch of pages runs the SAME batch pipeline (pipeline.
     build_triples — extract → GLRE inference → linking → in-batch dedup)
-    via foreachBatch and appends its triples. Cross-batch duplicates are
-    restored to the global invariant at read time by the SAME associative
-    re-aggregation lineage uses for cross-group commits (max score /
-    min url / sum n_sources are associative), so
+    via foreachBatch and appends its triples AT CRAWL GRANULARITY: every
+    appended row carries the crawl_key (url + warc_ts) of the page version
+    that produced it. That key is what makes the log safe under recrawls
+    that span micro-batches — the in-batch as-of dedup can only see
+    recrawls within its own batch, so a url recrawled in a LATER batch
+    leaves both versions' triples in the log, and read_stream_triples
+    resolves the winner (max warc_ts per url, exactly the batch as-of
+    rule) at read time before the associative re-aggregation (max score /
+    min url / sum n_sources). Hence
 
-        stream(batches) → append → re-dedup  ≡  one-shot batch run
+        stream(batches) → append → resolve latest crawl → re-dedup
+            ≡  one-shot batch run
 
-    exactly — asserted in tests/test_streaming.py. Drives availableNow to
-    completion; raises on timeout rather than leaving a partial sink."""
-    from glre_spark.pipeline import build_triples
+    exactly, for ANY assignment of crawls to micro-batches and ANY arrival
+    order — asserted in tests/test_streaming.py (including a newer crawl
+    arriving in a later batch AND a stale crawl arriving after the newer
+    one). Drives availableNow to completion; raises on timeout rather than
+    leaving a partial sink.
+
+    The winner CANNOT be derived from the triple log alone: a crawl whose
+    inference yields ZERO triples leaves no rows there, so a newer
+    zero-triple crawl would silently lose to a stale triple-bearing one.
+    Each batch therefore also appends every eligible (url, crawl_key) it
+    saw — eligibility = the SAME admission filter the batch pipeline
+    applies (pipeline.eligible_pages), because a filtered-out crawl must
+    not count as a url's latest version — to a tiny crawl-registry sidecar
+    (``target + "_crawls"``); the registry, not the triples, elects each
+    url's newest crawl at read time.
+
+    Scale note: the log stores per-crawl (not globally aggregated) triples
+    — the price of incremental exactness. At web scale a periodic
+    compaction job can fold the read-time resolution into the log (drop
+    rows of superseded crawl_keys, then re-aggregate) without changing any
+    reader's result, because the resolution is idempotent."""
+    from glre_spark.pipeline import build_triples, eligible_pages
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        triples = build_triples(spark, batch_df)
+        keyed = batch_df.withColumn("crawl_key", _crawl_key())
+        (
+            eligible_pages(keyed)
+            .select("url", "crawl_key")
+            .distinct()
+            .write.mode("append")
+            .parquet(target + "_crawls")
+        )
+        triples = build_triples(
+            spark, keyed, group_col="crawl_key", group_type="string"
+        )
         (
             triples.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
@@ -178,7 +232,22 @@ def stream_build_triples(
 
 
 def read_stream_triples(spark: SparkSession, target: str) -> DataFrame:
-    """Re-apply the global dedup invariant over the appended batches."""
+    """Resolve the latest crawl per url (the batch as-of rule, applied
+    across micro-batches) via the crawl registry, then re-apply the global
+    dedup invariant over the surviving rows. max(crawl_key) per url IS
+    max(warc_ts) per url — see _CRAWL_TS_FMT. The winners join is a
+    left-semi hash join on crawl_key (the winner set is one row per url —
+    broadcastable at any realistic url count per log segment); no window,
+    no sort, and a winning zero-triple crawl correctly contributes
+    nothing."""
     from glre_spark.linking import dedup_triples
 
-    return dedup_triples(spark.read.parquet(target).drop("batch_id"))
+    winners = (
+        spark.read.parquet(target + "_crawls")
+        .groupBy("url")
+        .agg(F.max("crawl_key").alias("crawl_key"))
+        .select("crawl_key")
+    )
+    log = spark.read.parquet(target).drop("batch_id")
+    kept = log.join(winners, "crawl_key", "left_semi").drop("crawl_key")
+    return dedup_triples(kept)

@@ -70,6 +70,69 @@ def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
     assert final == want
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """SURVEY §2.10's streaming-only contract: an event arriving behind the
+    watermark must be dropped, not aggregated into its finalized window.
+
+    Spark ≥3.4 filters late events with the PREVIOUS micro-batch's
+    watermark (SPARK-40925: lateEvents wm lags eviction wm by one batch),
+    so the straggler must arrive ≥2 batches after the event-time advance:
+    trigger 1 (f1) advances max event time to 10:30; trigger 2 (f2) runs
+    with eviction watermark 10:20 and hands 10:20 on as trigger 3's
+    late-events watermark; trigger 3 (f3) delivers a 10:01 straggler → it
+    is behind 10:20 and must be dropped. If tumbling_counts loses its
+    withWatermark call, the straggler is aggregated instead and the
+    [10:00,10:05) window emits a second update row — failing this test."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    def write_events_file(rows, src_dir, name, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        tmp = os.path.join(src_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src_dir, name)
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+    now = time.time()
+    write_events_file(
+        [(1, t(0), 1, "click", 1.0, "{}"), (2, t(2), 1, "click", 1.0, "{}"),
+         (3, t(30), 1, "click", 1.0, "{}")],
+        src, "f1.parquet", now - 180,
+    )
+    write_events_file(
+        [(4, t(31), 1, "click", 1.0, "{}")], src, "f2.parquet", now - 120
+    )
+    write_events_file(
+        [(5, t(1), 1, "click", 1.0, "{}"),   # LATE: behind the 10:20 watermark
+         (6, t(32), 1, "click", 1.0, "{}")],
+        src, "f3.parquet", now - 60,
+    )
+
+    stream = read_events_stream(spark, src, files_per_trigger=1)
+    run_stream_to_memory(tumbling_counts(stream), "late_mem", mode="update")
+    # update-mode memory sink accumulates per-trigger update rows; the
+    # [10:00,10:05) window must have exactly ONE update (n=2 from trigger
+    # 1) — a dropped withWatermark would add a second row for it (n=3
+    # merged, or n=1 re-created after eviction)
+    rows = spark.sql("SELECT w_start, n FROM late_mem").collect()
+    w0 = sorted(r.n for r in rows if r.w_start == t(0))
+    w30 = sorted(r.n for r in rows if r.w_start == t(30))
+    assert w0 == [2], f"late straggler touched the finalized window: {w0}"
+    assert w30 == [1, 2, 3]  # on-time rows in every trigger DID update it
+
+
 def test_streaming_kg_build_equals_batch(spark, tmp_path):
     """Incremental KG construction: pages streamed in micro-batches
     through the SAME pipeline, appended, then re-deduped must equal the
@@ -96,5 +159,99 @@ def test_streaming_kg_build_equals_batch(spark, tmp_path):
     want = {
         (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
         for r in build_triples(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def _write_page_file(spark, doc_ids, src_dir, name, mtime):
+    """One parquet FILE of generated pages with a controlled mtime — the
+    file stream source processes files oldest-mtime-first, so mtime
+    ordering pins the micro-batch arrival order."""
+    import glob
+    import os
+    import shutil
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+
+    rows = [gen_page_row(i) for i in doc_ids]
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        PAGES_SCHEMA,
+    )
+    tmp = os.path.join(src_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    dst = os.path.join(src_dir, name)
+    shutil.copy(part, dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_streaming_recrawl_across_microbatches(spark, tmp_path):
+    """A recrawl landing in a DIFFERENT micro-batch than the original crawl
+    must resolve exactly like the batch as-of dedup, in every arrival
+    order and triple-yield shape: (A) url of doc 6 — original arrives
+    first, newer recrawl (doc 7, same url, later warc_ts, different
+    content) arrives in a later batch; (B) url of doc 16 — the NEWER crawl
+    (doc 17) arrives first and the stale original arrives later and must
+    lose; (C) url of doc 76 — the stale crawl yields triples but the newer
+    recrawl (doc 77) yields ZERO, so the url must vanish from the result
+    (the case only the crawl-registry sidecar can resolve: the triple log
+    never sees the winning crawl)."""
+    import os
+    import time
+
+    from glre_spark.datagen import doc_url
+    from glre_spark.pipeline import build_triples
+    from glre_spark.streaming import (
+        read_pages_stream,
+        read_stream_triples,
+        stream_build_triples,
+    )
+
+    src = str(tmp_path / "pages_src")
+    target = str(tmp_path / "stream_triples")
+    os.makedirs(src)
+    now = time.time()
+    # all ids lang='en'; pairs (6,7), (16,17), (76,77) share a url with
+    # strictly increasing warc_ts; doc 77 produces no predictions
+    _write_page_file(spark, [6, 17, 21, 76], src, "b1.parquet", now - 120)
+    _write_page_file(spark, [7, 16, 22, 77], src, "b2.parquet", now - 60)
+
+    stream_build_triples(read_pages_stream(spark, src, files_per_trigger=1), target)
+
+    log = spark.read.parquet(target)
+    crawls = spark.read.parquet(target + "_crawls")
+    assert log.select("batch_id").distinct().count() >= 2, "expected ≥2 micro-batches"
+    # both crawls of each shared url were registered (the divergence
+    # scenario is real, not accidentally collapsed in-batch)
+    for base in (6, 16, 76):
+        n_keys = (
+            crawls.filter(F.col("url") == doc_url(base))
+            .select("crawl_key")
+            .distinct()
+            .count()
+        )
+        assert n_keys == 2, f"url of doc {base}: expected 2 registered crawls"
+    # case C precondition: the stale crawl's triples ARE in the log and the
+    # winning (newer) crawl left none — resolution must drop the url
+    stale76, new76 = sorted(
+        r.crawl_key
+        for r in crawls.filter(F.col("url") == doc_url(76))
+        .select("crawl_key")
+        .distinct()
+        .collect()
+    )
+    assert log.filter(F.col("crawl_key") == stale76).count() > 0
+    assert log.filter(F.col("crawl_key") == new76).count() == 0
+
+    got = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in read_stream_triples(spark, target).collect()
+    }
+    batch_pages = spark.read.parquet(src)
+    want = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in build_triples(spark, batch_pages).collect()
     }
     assert got == want and len(got) > 0

@@ -68,14 +68,82 @@ def all_oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-window priority. The driver's CORRECTNESS snapshot takes the first
-# 50 ``queries()`` entries in registry order, so ops that have never had a
-# driver row (r01+r02 union: windows, scalar-fn families, text_*, sinks/ckpt,
-# the UDF surface, udtf, sort_within_part, scan_docred_json) register FIRST,
-# followed by the flagship / kg / ann / mm families; the twice-proven plain
-# relational ops (scans/filters/joins/aggs/sets) fill the tail. Names absent
-# from this list keep their module-import order after it.
+# 50 ``queries()`` entries in registry order. Round-4 rotation (VERDICT r3
+# next-round #5): ops whose code changed in r4 register FIRST so the driver
+# re-proves them (UDF-surface rewrites + new simhash twin; the flagship /
+# lineage / dedup-family paths touched by the streaming-exactness and
+# cache-fingerprint changes); then the ops whose only driver evidence is r1
+# (oldest); then the r2-proven relational families. The r3-proven windows /
+# scalar-fn / text_* / ann / mm families (unchanged since their green rows)
+# slide to the tail. Names absent from this list keep their module-import
+# order after it.
 _PRIORITY: list[str] = [
-    # -- never driver-checked through r02 (29) --
+    # -- changed in r4: re-prove (16) --
+    "udf_scalar_pandas",       # rewritten with DuckDB twin (r4)
+    "udf_iter_pandas",         # rewritten with DuckDB twin (r4)
+    "simhash_dedup",           # DuckDB twin added (r4)
+    "glre_infer_triples",      # pipeline group plumbing + eligible_pages refactor
+    "glre_extract_text",
+    "glre_cluster_entities",
+    "glre_entity_table",
+    "lsh_candidates",          # capped_bands cache key change
+    "dedup_ngram_jaccard",
+    "udf_grouped_map",
+    "sink_triples",            # lineage obs.get hardening
+    "sink_entities",
+    "sink_metrics",
+    "ckpt_manifest",
+    "stateful_user_totals",    # streaming module touched
+    "dedup_exact",
+    # -- oldest driver evidence (r1 only) (7) --
+    "limit_topn",
+    "str_normalize",
+    "str_split_tokens",
+    "str_shingle",
+    "str_concat_fmt",
+    "hash_fns",
+    "sample_frac",
+    # -- r2-proven relational families (fill the window) --
+    "scan_parquet",
+    "scan_pages",
+    "project_select",
+    "filter_lang",
+    "filter_pred",
+    "filter_len",
+    "join_inner_eq",
+    "join_broadcast",
+    "join_salted_skew",
+    "join_left_semi",
+    "join_left_anti",
+    "join_outer",
+    "join_theta_range",
+    "join_asof",
+    "join_self_block",
+    "join_cross_small",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_collect_list",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_distinct_rows",
+    "sort_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # -- tail: r3-proven, unchanged since their green rows --
+    "resume_filter",
+    "repartition_urlhash",
+    "minhash_sig",
+    "lsh_band",
+    "cc_label_prop",
+    "canonicalize",
+    "dedup_triples",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
     "win_rownum_topk",
     "win_rank_dense",
     "win_lag_lead",
@@ -94,39 +162,10 @@ _PRIORITY: list[str] = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
-    "udf_grouped_map",
     "udf_grouped_agg",
-    "udf_scalar_pandas",
-    "udf_iter_pandas",
     "udtf_sent_split",
     "sort_within_part",
     "scan_docred_json",
-    "sink_triples",
-    "sink_entities",
-    "sink_metrics",
-    "ckpt_manifest",
-    # -- streaming surface (new in r3) --
-    "stateful_user_totals",
-    # -- flagship + LLM-pipeline families (proven, kept in-window) --
-    "glre_extract_text",
-    "glre_infer_triples",
-    "glre_cluster_entities",
-    "glre_entity_table",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "simhash_dedup",
-    "minhash_sig",
-    "lsh_band",
-    "lsh_candidates",
-    "cc_label_prop",
-    "canonicalize",
-    "dedup_triples",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_lsh_topk",
-    "ann_ivf_topk",           # new in r3 — these two take the window slots
-    "dedup_embedding_cosine",  # of mm_frame_sample/mm_audio_features
-                               # (green in CORRECTNESS_r02, slide to tail)
     "mm_image_meta",
     "mm_image_ahash",
     "mm_frame_sample",

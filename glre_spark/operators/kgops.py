@@ -930,10 +930,48 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@op("simhash_dedup", None)  # bit-twiddling hash → rows-only (pytest has a python oracle)
+def _simhash_sql() -> str:
+    """Full DuckDB twin of the 63-bit SimHash: distinct whitespace tokens →
+    md5 first 8 bytes big-endian (('0x' || hex-prefix)::UBIGINT matches
+    Python's int.from_bytes(digest[:8], 'big') exactly) → per-bit ±1 column
+    sums → majority sign bits. 63 generated CASE columns — verbose but
+    pure SQL, so the driver value-hashes the whole collision table."""
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(63)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(63)
+    )
+    return f"""WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents
+  )
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keeper
+FROM sim GROUP BY simhash"""
+
+
+@op("simhash_dedup", _simhash_sql())
 def simhash_dedup(spark, sf_dir):
     """64-bit SimHash per document via an Arrow-batched pandas UDF
-    (vectorized bit counting in numpy), grouped to find colliding docs."""
+    (vectorized bit counting in numpy), grouped to find colliding docs.
+    Value-checked against a full DuckDB twin (_simhash_sql) since r4; the
+    python-oracle pytest in tests/test_clustering.py remains as the
+    Hamming-distance property check."""
     import numpy as np
     import pandas as pd
 

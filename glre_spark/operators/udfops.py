@@ -155,36 +155,63 @@ def scan_docred_json(spark, sf_dir):
     )
 
 
-@op("udf_scalar_pandas", None)  # Python-stage op → rows-only
+@op(
+    "udf_scalar_pandas",
+    # fround convention: ROUND(x + 1e-9, 4) + 0 (pandas .round is binary
+    # half-even, Spark/DuckDB round on decimals — the nudge moves exact
+    # halves off the boundary for all three)
+    """SELECT doc_id,
+              ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / (length(text) - length(replace(text, ' ', '')) + 1) + 1e-9, 4)
+                + 0 AS avg_tok_len
+       FROM documents""",
+)
 def udf_scalar_pandas(spark, sf_dir):
-    """Scalar Series→Series pandas UDF surface (§2.11): the deterministic
-    HTML→text extractor applied distributed, checked against the text col."""
-    from glre_spark.datagen import pages_from_docs
-    from glre_spark.extract import extract_text_udf
+    """Scalar Series→Series pandas UDF surface (§2.11), value-checked: per
+    document, average token length = non-space chars / (spaces + 1),
+    computed with vectorized pandas string kernels (no per-row Python) and
+    rounded by the engine-stable fround convention. The distributed
+    HTML→text extractor (the production scalar-UDF user, extract.
+    extract_text_udf) keeps its byte-identical check in glre_extract_text;
+    this op is the surface's DuckDB-twinned proof."""
 
-    pages = pages_from_docs(load(spark, sf_dir, "documents"), partitions=8)
-    return pages.select(
-        "url", F.length(extract_text_udf(F.col("html"))).alias("extracted_len")
-    )
-
-
-@op("udf_iter_pandas", None)  # Python-stage op → rows-only
-def udf_iter_pandas(spark, sf_dir):
-    """Iterator[pd.Series]→Iterator[pd.Series] pandas UDF (init-once
-    pattern, §2.11): per-worker one-time state shared across batches."""
-
-    @F.pandas_udf("long")
-    def hashed_text(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        # init-once scope: the hash key is built per worker, reused per batch
-        hash_key = "glre-init-once!!"  # 16 bytes, pandas siphash key
-        for s in it:
-            h = pd.util.hash_pandas_object(  # vectorized C siphash, no per-row Python
-                s.fillna(""), index=False, hash_key=hash_key
-            )
-            yield (h % (1 << 32)).astype("int64")
+    @F.pandas_udf("double")
+    def avg_tok_len(s: pd.Series) -> pd.Series:
+        t = s.fillna("")
+        spaces = t.str.count(" ")
+        val = (t.str.len() - spaces) / (spaces + 1)
+        return (val + 1e-9).round(4) + 0.0
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", hashed_text(F.col("text")).alias("text_hash32"))
+    return docs.select("doc_id", avg_tok_len(F.col("text")).alias("avg_tok_len"))
+
+
+@op(
+    "udf_iter_pandas",
+    """SELECT doc_id,
+              CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS INTEGER)
+                AS n_terminators
+       FROM documents""",
+)
+def udf_iter_pandas(spark, sf_dir):
+    """Iterator[pd.Series]→Iterator[pd.Series] pandas UDF (init-once
+    pattern, §2.11), value-checked: the sentence-terminator pattern is
+    compiled ONCE per worker (the expensive-init slot where the inference
+    stage deserializes model weights) and reused across every Arrow batch;
+    the per-batch kernel is a vectorized C regex count."""
+
+    @F.pandas_udf("int")
+    def n_terminators(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        pat = re.compile(r"[.!?]")  # init-once per worker, shared by batches
+        for s in it:
+            yield s.fillna("").str.count(pat).astype("int32")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", n_terminators(F.col("text")).alias("n_terminators")
+    )
 
 
 @op(

@@ -108,8 +108,11 @@ def _completed_stages(spark) -> list[dict]:
                 "tasks": s["numCompleteTasks"],
                 "run_ms": s["executorRunTime"],
                 "cpu_ms": s.get("executorCpuTime", 0) // 1_000_000,
+                "gc_ms": s.get("jvmGcTime", 0),
                 "shuf_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
                 "shuf_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "shuf_read_recs": s.get("shuffleReadRecords", 0),
+                "shuf_write_recs": s.get("shuffleWriteRecords", 0),
                 "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
             }
         )

@@ -49,6 +49,19 @@ def session_aggregate(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup (the §2.13 dedup_exact shape as a stream):
+    ``dropDuplicatesWithinWatermark`` keeps the first occurrence of each
+    event_id and drops re-deliveries arriving within the watermark window
+    — the at-least-once-source → exactly-once-pipeline building block.
+    Unlike plain dropDuplicates (state grows forever on a stream), the
+    watermark bounds state: dedup keys older than it are evicted, which is
+    the only state shape that survives an unbounded crawl at web scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame, exact_cents: bool = False) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (SURVEY.md
     §2.10 / brief: "applyInPandasWithState for custom stateful
@@ -229,6 +242,41 @@ def stream_build_triples(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming KG build still running after {timeout_s}s")
+
+
+def compact_stream_triples(spark: SparkSession, target: str) -> dict:
+    """Fold the read-time resolution into the log: rewrite the triple log
+    keeping only rows belonging to each url's winning (max-warc_ts) crawl,
+    and collapse the crawl registry to the winners. Crawl granularity is
+    PRESERVED (rows keep their crawl_key), so later micro-batches appended
+    after a compaction still resolve exactly — a newer recrawl simply
+    supersedes the compacted winner at the next read or compaction.
+    Idempotent: a second run removes nothing. Readers see identical
+    results before and after (asserted in tests/test_streaming.py).
+
+    Sandbox mechanics: write-to-temp + directory swap (at scale this is
+    one Iceberg/Delta REPLACE transaction; the swap here is test-grade,
+    not crash-atomic). Returns {"rows_before", "rows_after"}."""
+    import os
+    import shutil
+
+    crawls_path = target + "_crawls"
+    winners = (
+        spark.read.parquet(crawls_path)
+        .groupBy("url")
+        .agg(F.max("crawl_key").alias("crawl_key"))
+    )
+    log = spark.read.parquet(target)
+    kept = log.join(winners.select("crawl_key"), "crawl_key", "left_semi")
+    rows_before = log.count()
+    tmp_log, tmp_crawls = target + "_compact_tmp", crawls_path + "_compact_tmp"
+    kept.write.mode("overwrite").parquet(tmp_log)
+    winners.write.mode("overwrite").parquet(tmp_crawls)
+    rows_after = spark.read.parquet(tmp_log).count()
+    for live, tmp in ((target, tmp_log), (crawls_path, tmp_crawls)):
+        shutil.rmtree(live)
+        os.rename(tmp, live)
+    return {"rows_before": rows_before, "rows_after": rows_after}
 
 
 def read_stream_triples(spark: SparkSession, target: str) -> DataFrame:

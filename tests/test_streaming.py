@@ -70,6 +70,25 @@ def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
     assert final == want
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-deliveries of the same event_id in
+    LATER micro-batches (within the watermark) are dropped; the surviving
+    set equals the batch distinct-on-event_id."""
+    from glre_spark.streaming import dedup_events_stream
+
+    src_dir = str(tmp_path / "dup_events")
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    # duplicate EVERY event into a second set of files → cross-batch dupes
+    batch_src.repartition(4).write.parquet(src_dir)
+    batch_src.repartition(4).write.mode("append").parquet(src_dir)
+
+    stream = read_events_stream(spark, src_dir, files_per_trigger=2)
+    run_stream_to_memory(dedup_events_stream(stream), "dedup_mem", mode="append")
+    got = spark.sql("SELECT event_id, count(*) AS c FROM dedup_mem GROUP BY event_id")
+    assert got.filter("c > 1").count() == 0, "a re-delivered event survived"
+    assert got.count() == batch_src.select("event_id").distinct().count()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """SURVEY §2.10's streaming-only contract: an event arriving behind the
     watermark must be dropped, not aggregated into its finalized window.
@@ -255,3 +274,73 @@ def test_streaming_recrawl_across_microbatches(spark, tmp_path):
         for r in build_triples(spark, batch_pages).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_log_compaction(spark, tmp_path):
+    """Compaction folds the latest-crawl resolution into the log: stale-
+    crawl rows are physically dropped, readers see identical results
+    before/after, a second compaction is a no-op, and batches streamed
+    AFTER a compaction (a yet-newer recrawl of an already-compacted url)
+    still resolve exactly against the one-shot batch run."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.pipeline import build_triples
+    from glre_spark.streaming import (
+        compact_stream_triples,
+        read_pages_stream,
+        read_stream_triples,
+        stream_build_triples,
+    )
+
+    src = str(tmp_path / "pages_src")
+    target = str(tmp_path / "stream_triples")
+    os.makedirs(src)
+    now = time.time()
+    _write_page_file(spark, [6, 21], src, "b1.parquet", now - 180)
+    _write_page_file(spark, [7, 22], src, "b2.parquet", now - 120)
+    stream_build_triples(read_pages_stream(spark, src, files_per_trigger=1), target)
+
+    def result():
+        return {
+            (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+            for r in read_stream_triples(spark, target).collect()
+        }
+
+    before = result()
+    stats = compact_stream_triples(spark, target)
+    assert stats["rows_after"] < stats["rows_before"], "no stale rows dropped"
+    assert result() == before, "compaction changed the read result"
+    stats2 = compact_stream_triples(spark, target)
+    assert stats2["rows_after"] == stats2["rows_before"], "compaction not idempotent"
+
+    # stream a THIRD, even newer recrawl of doc 6's url after compaction
+    # (doc 7's crawl was the compacted winner; synthesize a later one)
+    r7 = gen_page_row(7)
+    newer = dict(r7, warc_ts=r7["warc_ts"] + datetime.timedelta(days=5))
+    df = spark.createDataFrame(
+        [(newer["url"], newer["warc_ts"], newer["html"], newer["text"], newer["lang"])],
+        PAGES_SCHEMA,
+    )
+    tmp = os.path.join(src, "_stage_b3")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    _shutil.copy(part, os.path.join(src, "b3.parquet"))
+    _shutil.rmtree(tmp)
+    # same checkpoint dir → availableNow processes ONLY the new file
+    stream_build_triples(read_pages_stream(spark, src, files_per_trigger=1), target)
+
+    want = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in build_triples(
+            spark,
+            spark.read.parquet(os.path.join(src, "b1.parquet")).unionByName(
+                spark.read.parquet(os.path.join(src, "b2.parquet"))
+            ).unionByName(df),
+        ).collect()
+    }
+    assert result() == want

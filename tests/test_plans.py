@@ -42,7 +42,11 @@ def test_relational_ops_have_no_python_udfs(spark):
     """Every SQL✓ operator must stay JVM-side (whole-stage codegen),
     never fall into ArrowEvalPython/BatchEvalPython."""
     exceptions = {
-        "udf_grouped_map", "udf_grouped_agg", "udtf_sent_split",  # UDF surface ops
+        # UDF surface ops: the Python stage IS the op; their SQL twins
+        # re-derive the same values relationally (r4 added value-level
+        # twins for the scalar/iterator surfaces and SimHash)
+        "udf_grouped_map", "udf_grouped_agg", "udtf_sent_split",
+        "udf_scalar_pandas", "udf_iter_pandas", "simhash_dedup",
         # multimodal ops: binary decode is inherently an Arrow/Python stage
         # (that IS the op); their SQL twins oracle the generator formulas
         "mm_image_meta", "mm_frame_sample", "mm_audio_features",

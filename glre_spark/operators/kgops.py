@@ -1015,10 +1015,20 @@ def simhash_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@op("glre_extract_text", None)
+@op(
+    "glre_extract_text",
+    # Not tautological: if extraction diverges on ANY page, the Spark side
+    # returns a second (byte_identical=false) group — row-count and hash
+    # both break against this single-group oracle.
+    """SELECT CAST(1 AS BOOLEAN) AS byte_identical,
+              CAST(COUNT(*) AS BIGINT) AS n_pages
+       FROM documents""",
+)
 def glre_extract_text(spark, sf_dir):
     """Byte-identical extraction invariant, distributed: synthesize pages
-    (html + golden text) from the documents doc_ids, extract, compare."""
+    (html + golden text) from the documents doc_ids, extract, compare.
+    The DuckDB twin pins the invariant's only legal outcome — exactly one
+    group, byte_identical=true, count = all pages."""
     from glre_spark.datagen import pages_from_docs
     from glre_spark.extract import extract_text_udf
 

@@ -38,6 +38,17 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """10-min windows sliding every 5 — the streaming twin of
+    win_sliding (each event lands in two overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
 def session_aggregate(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Per-user session windows (30-min gap) — streaming twin of
     win_session."""

@@ -70,6 +70,30 @@ def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
     assert final == want
 
 
+def test_streaming_sliding_matches_batch(spark, tmp_path):
+    import shutil
+
+    from glre_spark.streaming import sliding_counts
+
+    src_dir = tmp_path / "events_sliding"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-000.parquet")
+    stream = read_events_stream(spark, str(src_dir))
+    run_stream_to_memory(sliding_counts(stream), "sliding_mem")
+    got = {
+        (r.w_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM sliding_mem").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    want = {(r.w_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: re-deliveries of the same event_id in
     LATER micro-batches (within the watermark) are dropped; the surviving

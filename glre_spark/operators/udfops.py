@@ -169,21 +169,25 @@ def scan_docred_json(spark, sf_dir):
 def udf_scalar_pandas(spark, sf_dir):
     """Scalar Series→Series pandas UDF surface (§2.11), value-checked: per
     document, average token length = non-space chars / (spaces + 1),
-    computed with vectorized pandas string kernels (no per-row Python) and
-    rounded by the engine-stable fround convention. The distributed
-    HTML→text extractor (the production scalar-UDF user, extract.
-    extract_text_udf) keeps its byte-identical check in glre_extract_text;
-    this op is the surface's DuckDB-twinned proof."""
+    computed with vectorized pandas string kernels (no per-row Python).
+    The UDF returns the RAW ratio; rounding goes through the shared fround
+    helper engine-side (pandas .round is binary half-even — a third
+    rounding regime the oracle convention exists to avoid). The
+    distributed HTML→text extractor (the production scalar-UDF user,
+    extract.extract_text_udf) keeps its byte-identical check in
+    glre_extract_text; this op is the surface's DuckDB-twinned proof."""
+    from glre_spark.operators import fround
 
     @F.pandas_udf("double")
     def avg_tok_len(s: pd.Series) -> pd.Series:
         t = s.fillna("")
         spaces = t.str.count(" ")
-        val = (t.str.len() - spaces) / (spaces + 1)
-        return (val + 1e-9).round(4) + 0.0
+        return (t.str.len() - spaces) / (spaces + 1)
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", avg_tok_len(F.col("text")).alias("avg_tok_len"))
+    return docs.select(
+        "doc_id", fround(avg_tok_len(F.col("text"))).alias("avg_tok_len")
+    )
 
 
 @op(

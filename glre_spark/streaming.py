@@ -174,6 +174,13 @@ def read_pages_stream(spark: SparkSession, path: str, files_per_trigger: int = 4
 # warc_ts drops the suffix entirely (concat_ws skips nulls) → the bare-url
 # key sorts below every timestamped key, so an untimestamped crawl loses
 # to any timestamped recrawl, matching the batch as-of's epoch-coalesce.
+#
+# Precondition (the WARC invariant): (url, warc_ts) uniquely identifies a
+# page VERSION. Two different page bodies sharing a url AND a warc_ts
+# share a crawl_key; the batch as-of would keep an arbitrary one of them
+# while the stream would merge both — neither side has information to
+# prefer one. datagen guarantees strictly increasing recrawl timestamps,
+# and real WARC capture timestamps are per-fetch.
 _CRAWL_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
@@ -255,38 +262,64 @@ def stream_build_triples(
         raise TimeoutError(f"streaming KG build still running after {timeout_s}s")
 
 
+def _crawl_winners(spark: SparkSession, target: str) -> DataFrame:
+    """The single winner-election rule shared by reads and compaction:
+    per url, the registered crawl with max crawl_key (== max warc_ts, see
+    _CRAWL_TS_FMT). One definition — compaction can never elect
+    differently than a read."""
+    return (
+        spark.read.parquet(target + "_crawls")
+        .groupBy("url")
+        .agg(F.max("crawl_key").alias("crawl_key"))
+    )
+
+
+def _dedup_replays(log: DataFrame) -> DataFrame:
+    """foreachBatch is at-least-once: a micro-batch whose parquet append
+    committed but whose checkpoint offset did not gets REPLAYED on
+    restart, appending bit-identical rows (same batch_id — the pipeline is
+    deterministic) a second time. Full-row distinct removes exactly those
+    replays and nothing else: legitimate rows from different batches
+    differ in batch_id, and within one batch rows are unique by the
+    group-scoped dedup. This is the read-side half of exactly-once over an
+    append-only log."""
+    return log.distinct()
+
+
 def compact_stream_triples(spark: SparkSession, target: str) -> dict:
     """Fold the read-time resolution into the log: rewrite the triple log
-    keeping only rows belonging to each url's winning (max-warc_ts) crawl,
-    and collapse the crawl registry to the winners. Crawl granularity is
-    PRESERVED (rows keep their crawl_key), so later micro-batches appended
-    after a compaction still resolve exactly — a newer recrawl simply
-    supersedes the compacted winner at the next read or compaction.
-    Idempotent: a second run removes nothing. Readers see identical
-    results before and after (asserted in tests/test_streaming.py).
+    keeping only rows belonging to each url's winning (max-warc_ts) crawl
+    (and dropping at-least-once replay duplicates), then collapse the
+    crawl registry to the winners. Crawl granularity is PRESERVED (rows
+    keep their crawl_key), so later micro-batches appended after a
+    compaction still resolve exactly — a newer recrawl simply supersedes
+    the compacted winner at the next read or compaction. Idempotent: a
+    second run removes nothing. Readers see identical results before and
+    after (asserted in tests/test_streaming.py).
 
-    Sandbox mechanics: write-to-temp + directory swap (at scale this is
-    one Iceberg/Delta REPLACE transaction; the swap here is test-grade,
-    not crash-atomic). Returns {"rows_before", "rows_after"}."""
+    Single-writer maintenance op: run it while NO stream is appending to
+    ``target`` — an append landing between the rewrite scan and the swap
+    below would be lost (at scale this whole op is one Iceberg/Delta
+    REPLACE transaction, which conflicts-or-serializes with appends
+    instead). The swap keeps a backup dir so a crash mid-swap never
+    leaves the log missing. Returns {"rows_before", "rows_after"}."""
     import os
     import shutil
 
     crawls_path = target + "_crawls"
-    winners = (
-        spark.read.parquet(crawls_path)
-        .groupBy("url")
-        .agg(F.max("crawl_key").alias("crawl_key"))
-    )
-    log = spark.read.parquet(target)
+    winners = _crawl_winners(spark, target)
+    log = _dedup_replays(spark.read.parquet(target))
     kept = log.join(winners.select("crawl_key"), "crawl_key", "left_semi")
-    rows_before = log.count()
+    rows_before = spark.read.parquet(target).count()
     tmp_log, tmp_crawls = target + "_compact_tmp", crawls_path + "_compact_tmp"
     kept.write.mode("overwrite").parquet(tmp_log)
     winners.write.mode("overwrite").parquet(tmp_crawls)
     rows_after = spark.read.parquet(tmp_log).count()
     for live, tmp in ((target, tmp_log), (crawls_path, tmp_crawls)):
-        shutil.rmtree(live)
+        bak = live + "_compact_bak"
+        os.rename(live, bak)
         os.rename(tmp, live)
+        shutil.rmtree(bak)
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 
@@ -301,12 +334,7 @@ def read_stream_triples(spark: SparkSession, target: str) -> DataFrame:
     nothing."""
     from glre_spark.linking import dedup_triples
 
-    winners = (
-        spark.read.parquet(target + "_crawls")
-        .groupBy("url")
-        .agg(F.max("crawl_key").alias("crawl_key"))
-        .select("crawl_key")
-    )
-    log = spark.read.parquet(target).drop("batch_id")
+    winners = _crawl_winners(spark, target).select("crawl_key")
+    log = _dedup_replays(spark.read.parquet(target)).drop("batch_id")
     kept = log.join(winners, "crawl_key", "left_semi").drop("crawl_key")
     return dedup_triples(kept)

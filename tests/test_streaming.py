@@ -300,6 +300,48 @@ def test_streaming_recrawl_across_microbatches(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose append committed but
+    whose checkpoint offset didn't is replayed verbatim on restart.
+    Re-appending a batch's exact rows (triples AND registry) must not
+    change what readers see — n_sources especially must not double."""
+    import os
+    import time
+
+    from glre_spark.pipeline import build_triples
+    from glre_spark.streaming import (
+        read_pages_stream,
+        read_stream_triples,
+        stream_build_triples,
+    )
+
+    src = str(tmp_path / "pages_src")
+    target = str(tmp_path / "stream_triples")
+    os.makedirs(src)
+    now = time.time()
+    _write_page_file(spark, [6, 21], src, "b1.parquet", now - 120)
+    _write_page_file(spark, [7, 22], src, "b2.parquet", now - 60)
+    stream_build_triples(read_pages_stream(spark, src, files_per_trigger=1), target)
+
+    def result():
+        return {
+            (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+            for r in read_stream_triples(spark, target).collect()
+        }
+
+    want = {
+        (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)
+        for r in build_triples(spark, spark.read.parquet(src)).collect()
+    }
+    assert result() == want
+    # simulate the replay: re-append batch 0's rows bit-identically
+    log = spark.read.parquet(target)
+    log.filter("batch_id = 0").write.mode("append").parquet(target)
+    crawls = spark.read.parquet(target + "_crawls")
+    crawls.write.mode("append").parquet(target + "_crawls")
+    assert result() == want, "replayed batch changed the read result"
+
+
 def test_stream_log_compaction(spark, tmp_path):
     """Compaction folds the latest-crawl resolution into the log: stale-
     crawl rows are physically dropped, readers see identical results

@@ -129,6 +129,53 @@ def stateful_user_totals(events: DataFrame, exact_cents: bool = False) -> DataFr
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals as ``stateful_user_totals(
+    exact_cents=True)``, expressed in Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor surface to
+    applyInPandasWithState, with explicit state handles, TTL support and
+    timers. Output parity with the batch groupBy is asserted in
+    tests/test_streaming.py — SKIPPED where the runtime dependency is
+    missing: transformWithState's Python↔JVM state protocol needs a
+    working google.protobuf, which this sandbox lacks (the test probes
+    for it; applyInPandasWithState needs no protobuf and remains the
+    proven stateful surface here). Integer-cents HALF_UP state, identical
+    to streaming_ops' convention."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get() if self._state.exists() else None
+            total, acc = got if got is not None else (0, 0)
+            for pdf in rows:
+                total += len(pdf)
+                v = pdf["value"].to_numpy() * 100
+                # HALF_UP away from zero — the shared cents convention
+                acc += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).sum())
+            self._state.update((total, acc))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [total], "sum_cents": [acc]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, sum_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, timeout_s: int = 300, mode: str = "complete"
 ):

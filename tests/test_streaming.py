@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from glre_spark.streaming import (
@@ -65,6 +66,56 @@ def test_stateful_operator_accumulates_across_microbatches(spark, tmp_path):
         r.user_id: (r.n, round(r.s, 6))
         for r in batch_src.groupBy("user_id")
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == want
+
+
+def _protobuf_usable() -> bool:
+    # transformWithState's state-server protocol imports google.protobuf
+    # inside the dedicated Python driver worker; a broken install crashes
+    # the stream with no catchable Python error, so probe up front
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithState needs google.protobuf (absent in sandbox); "
+    "applyInPandasWithState covers the stateful surface here",
+)
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """Spark 4 transformWithState (StatefulProcessor + ValueState) must
+    carry state across micro-batches and land on the same final per-user
+    totals as the applyInPandasWithState op and the batch aggregate."""
+    from glre_spark.operators import cents
+    from glre_spark.streaming import stateful_user_totals_tws
+
+    src_dir = str(tmp_path / "events_tws")
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_src.repartition(12).write.parquet(src_dir)  # ≥3 micro-batches
+
+    stream = read_events_stream(spark, src_dir)
+    run_stream_to_memory(stateful_user_totals_tws(stream), "tws_mem", mode="update")
+    updates = spark.sql("SELECT * FROM tws_mem")
+    final = {
+        r.user_id: (r.n_events, r.sum_cents)
+        for r in updates.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_cents").alias("sum_cents"))
+        .collect()
+    }
+    assert updates.count() > len(final), "state never crossed a micro-batch"
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in batch_src.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("c"),
+        )
         .collect()
     }
     assert final == want

@@ -28,9 +28,16 @@ def test_sink_triples_partition_layout_and_idempotence(spark, tmp_path):
     # partition dirs carry the dominant read filter
     dirs = sorted(d for d in os.listdir(target) if d.startswith("pred="))
     assert dirs == ["pred=P108", "pred=P159"]
-    # partition pruning: a pred filter must not scan the other partition
+    # partition pruning: a pred filter must not scan the other partition —
+    # assert it at the PLAN level (the layout's whole point at 100 TB is
+    # that `WHERE pred = ...` reads one directory, not the table)
     back = spark.read.parquet(target)
-    assert back.filter(F.col("pred") == "P108").count() == 2
+    pruned = back.filter(F.col("pred") == "P108")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pred" in plan.split("PartitionFilters", 1)[1][:120], (
+        "pred filter did not reach PartitionFilters:\n" + plan
+    )
+    assert pruned.count() == 2
     first = sorted(map(tuple, back.collect()))
     assert len(first) == 3
     # overwrite idempotence: second sink of the same data → same content

@@ -331,12 +331,12 @@ sort-window as the as-of dedup; replacing it with a
 the url exchange) took r3 to 0.811 raw (1.00× that session's pure-CPU
 ceiling). r4 added the relational per-stage breakdown below and resolved
 the r3 stage-(4) cpu anomaly (steal artifact, see flagship section).
-r4 protocol note: the flagship N-level best improved (43.6 → 40.27 s,
-same code — a less-stolen session) while the 4N best persisted at
-13.44 s, so raw eff moved 0.811 → 0.749 purely through the DENOMINATOR;
-wall-clock at both levels is the best ever measured. Min-merging keeps
-this honest in both directions: a faster N lowers the ratio exactly as a
-faster 4N raises it.
+r4 protocol note: BOTH flagship level bests improved this round on the
+same code (N 43.6 → 40.27 s, 4N 13.44 → 12.52 s — less-stolen sessions),
+and the raw ratio passed through 0.749 mid-session while only the N side
+had improved. Min-merging keeps this honest in both directions: a faster
+N lowers the ratio exactly as a faster 4N raises it; the final 0.8+ raw
+stands on best-ever walls at both levels.
 
 ## Flagship per-stage breakdown (VERDICT r02 next-round #2)
 

@@ -47,6 +47,8 @@ def test_relational_ops_have_no_python_udfs(spark):
         # twins for the scalar/iterator surfaces and SimHash)
         "udf_grouped_map", "udf_grouped_agg", "udtf_sent_split",
         "udf_scalar_pandas", "udf_iter_pandas", "simhash_dedup",
+        # the distributed extractor IS this op; its twin pins the invariant
+        "glre_extract_text",
         # multimodal ops: binary decode is inherently an Arrow/Python stage
         # (that IS the op); their SQL twins oracle the generator formulas
         "mm_image_meta", "mm_frame_sample", "mm_audio_features",

@@ -387,10 +387,18 @@ def test_stream_replay_idempotent(spark, tmp_path):
     assert result() == want
     # simulate the replay: re-append batch 0's rows bit-identically
     log = spark.read.parquet(target)
+    n_clean = log.count()
     log.filter("batch_id = 0").write.mode("append").parquet(target)
     crawls = spark.read.parquet(target + "_crawls")
     crawls.write.mode("append").parquet(target + "_crawls")
     assert result() == want, "replayed batch changed the read result"
+    # compaction must physically remove the replayed rows too (it applies
+    # the same replay-dedup before the winners rewrite)
+    from glre_spark.streaming import compact_stream_triples
+
+    stats = compact_stream_triples(spark, target)
+    assert stats["rows_after"] <= n_clean, "compaction kept replayed rows"
+    assert result() == want, "compaction after replay changed the result"
 
 
 def test_stream_log_compaction(spark, tmp_path):

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from glre_spark.inference import broadcast_weights, infer_stage
+from glre_spark.inference import broadcast_weights
 from glre_spark.linking import alias_dict_df, dedup_triples, link_aliases
 
 MAX_DOC_CHARS = 100_000

@@ -78,6 +78,8 @@ _LOADED = False
 # slide to the tail. Names absent from this list keep their module-import
 # order after it.
 _PRIORITY: list[str] = [
+    # -- new in r4 --
+    "split_holdout",           # deterministic hash-based corpus splits
     # -- changed in r4: re-prove (16) --
     "udf_scalar_pandas",       # rewritten with DuckDB twin (r4)
     "udf_iter_pandas",         # rewritten with DuckDB twin (r4)

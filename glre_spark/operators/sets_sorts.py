@@ -89,3 +89,42 @@ def sample_frac(spark, sf_dir):
     return load(spark, sf_dir, "orders").sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey"
     )
+
+
+@op(
+    "split_holdout",
+    """SELECT doc_id,
+              CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::UBIGINT
+                        % 100 < 5
+                   THEN 'val' ELSE 'train' END AS split,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::UBIGINT
+                   % 16 AS INTEGER) AS shard
+       FROM documents""",
+)
+def split_holdout(spark, sf_dir):
+    """Deterministic hash-based corpus splits — the reproducible
+    train/holdout assignment a training-data pipeline needs at 100 TB,
+    where ``sample_frac``-style engine RNG cannot give two jobs (or two
+    engines) the same split. Key-hash → bucket: stable under reruns,
+    repartitioning, engine choice, and corpus growth (a doc's split never
+    changes when other docs are added). md5-derived 32-bit buckets with
+    per-purpose salts (':split' vs ':shard') keep the two assignments
+    independent; both are bit-identical in DuckDB (hex-prefix → integer,
+    same convention as the MinHash family)."""
+
+    def bucket(salt: str, mod: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(mod))
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(bucket(":split", 100) < 5, "val").otherwise("train").alias("split"),
+        bucket(":shard", 16).cast("int").alias("shard"),
+    )

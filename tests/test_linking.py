@@ -117,3 +117,40 @@ def test_grouped_map_band_blocking_no_quadratic_on_uniform_length(spark, tmp_pat
     )
     n_pairs = udf_grouped_map(spark, str(tmp_path)).count()
     assert n_pairs < 500, f"uniform-length corpus exploded into {n_pairs} pairs"
+
+
+def test_split_holdout_stable_under_corpus_growth(spark):
+    """A document's split/shard assignment depends only on its own key:
+    computing the assignment over a subset of the corpus must agree with
+    the full-corpus assignment on every shared doc — the property that
+    lets a 100 TB pipeline add crawl batches without reshuffling holdout
+    membership (and that engine-RNG sampling does not have)."""
+    from glre_spark.operators.sets_sorts import split_holdout
+    from tests.conftest import SF_DIR
+
+    full = {
+        r.doc_id: (r.split, r.shard)
+        for r in split_holdout(spark, SF_DIR).collect()
+    }
+
+    # re-apply the op's bucket rule to a FILTERED corpus
+    def bucket(salt, mod):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(mod))
+
+    subset = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id % 3 = 0")
+    sub = {
+        r.doc_id: (r.split, r.shard)
+        for r in subset.select(
+            "doc_id",
+            F.when(bucket(":split", 100) < 5, "val").otherwise("train").alias("split"),
+            bucket(":shard", 16).cast("int").alias("shard"),
+        ).collect()
+    }
+    assert sub and all(full[d] == v for d, v in sub.items())

@@ -80,6 +80,7 @@ _LOADED = False
 _PRIORITY: list[str] = [
     # -- new in r4 --
     "split_holdout",           # deterministic hash-based corpus splits
+    "dedup_keeper_table",      # end-to-end dedup decision (pairs→CC→keeper)
     # -- changed in r4: re-prove (16) --
     "udf_scalar_pandas",       # rewritten with DuckDB twin (r4)
     "udf_iter_pandas",         # rewritten with DuckDB twin (r4)

@@ -480,6 +480,88 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_KEEPER_TAU = 0.8  # classic near-dup Jaccard threshold
+
+
+@op(
+    "dedup_keeper_table",
+    "WITH RECURSIVE "
+    + _CAND_CTES
+    + f""",
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 2)),
+           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+  FROM documents
+),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d db ON db.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(da.sh, db.sh))) >= {_KEEPER_TAU}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION ALL
+  SELECT id_b, id_a FROM ver
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS keeper FROM reach GROUP BY id)
+SELECT doc_id,
+       COALESCE(c.keeper, doc_id) AS keeper,
+       COALESCE(c.keeper, doc_id) <> doc_id AS is_dup
+FROM documents LEFT JOIN comp c ON c.id = doc_id""",
+)
+def dedup_keeper_table(spark, sf_dir):
+    """The end-to-end dedup DECISION: LSH candidates → exact 3-gram
+    Jaccard ≥ τ verified pairs → connected components → one keeper (min
+    doc_id) per near-dup cluster; every document gets (keeper, is_dup).
+    This is the table a training-data pipeline actually joins against to
+    drop duplicates — pair detection (lsh_candidates /
+    dedup_ngram_jaccard) composed with clustering (cc_label_prop
+    machinery) into the final verdict. Oracle = the same pipeline as one
+    SQL statement with a recursive CTE for the components.
+
+    Threshold comparison uses the RAW ratio on both engines (identical
+    int/int divisions — hashed-shingle set sizes equal string-shingle set
+    sizes whp), so no rounding convention is needed."""
+    from glre_spark.linking import connected_components
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
+    )
+    cand = _capped_candidates(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ver = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= _KEEPER_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(ver)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comps, docs.doc_id == comps.id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+        (F.coalesce(F.col("component"), F.col("doc_id")) != F.col("doc_id")).alias(
+            "is_dup"
+        ),
+    )
+
+
 _ANN_CTES = """q AS (
   SELECT UNNEST(range(1, len(embedding) + 1)) AS idx,
          CAST(UNNEST(embedding) AS DOUBLE) AS v

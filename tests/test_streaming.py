@@ -13,6 +13,24 @@ from glre_spark.streaming import (
 from tests.conftest import SF_DIR
 
 
+def _stage_one_file(df, src_dir, name, mtime=None):
+    """Write ``df`` as exactly one parquet FILE under ``src_dir`` with an
+    optional controlled mtime — the file stream source processes files
+    oldest-mtime-first, so mtime ordering pins micro-batch arrival order."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(src_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    dst = os.path.join(src_dir, name)
+    shutil.copy(part, dst)
+    shutil.rmtree(tmp)
+    if mtime is not None:
+        os.utime(dst, (mtime, mtime))
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
     # file stream source needs a directory; stage the single parquet file
     import shutil
@@ -178,9 +196,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     withWatermark call, the straggler is aggregated instead and the
     [10:00,10:05) window emits a second update row — failing this test."""
     import datetime as dt
-    import glob
     import os
-    import shutil
     import time
 
     def write_events_file(rows, src_dir, name, mtime):
@@ -188,13 +204,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             rows, "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string"
         )
-        tmp = os.path.join(src_dir, f"_stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        dst = os.path.join(src_dir, name)
-        shutil.copy(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (mtime, mtime))
+        _stage_one_file(df, src_dir, name, mtime)
 
     t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
     src = str(tmp_path / "late_events")
@@ -258,13 +268,7 @@ def test_streaming_kg_build_equals_batch(spark, tmp_path):
 
 
 def _write_page_file(spark, doc_ids, src_dir, name, mtime):
-    """One parquet FILE of generated pages with a controlled mtime — the
-    file stream source processes files oldest-mtime-first, so mtime
-    ordering pins the micro-batch arrival order."""
-    import glob
-    import os
-    import shutil
-
+    """One parquet FILE of generated pages with a controlled mtime."""
     from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
 
     rows = [gen_page_row(i) for i in doc_ids]
@@ -272,13 +276,7 @@ def _write_page_file(spark, doc_ids, src_dir, name, mtime):
         [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
         PAGES_SCHEMA,
     )
-    tmp = os.path.join(src_dir, f"_stage_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-    dst = os.path.join(src_dir, name)
-    shutil.copy(part, dst)
-    shutil.rmtree(tmp)
-    os.utime(dst, (mtime, mtime))
+    _stage_one_file(df, src_dir, name, mtime)
 
 
 def test_streaming_recrawl_across_microbatches(spark, tmp_path):
@@ -408,9 +406,7 @@ def test_stream_log_compaction(spark, tmp_path):
     AFTER a compaction (a yet-newer recrawl of an already-compacted url)
     still resolve exactly against the one-shot batch run."""
     import datetime
-    import glob as _glob
     import os
-    import shutil as _shutil
     import time
 
     from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
@@ -451,11 +447,7 @@ def test_stream_log_compaction(spark, tmp_path):
         [(newer["url"], newer["warc_ts"], newer["html"], newer["text"], newer["lang"])],
         PAGES_SCHEMA,
     )
-    tmp = os.path.join(src, "_stage_b3")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
-    _shutil.copy(part, os.path.join(src, "b3.parquet"))
-    _shutil.rmtree(tmp)
+    _stage_one_file(df, src, "b3.parquet")
     # same checkpoint dir → availableNow processes ONLY the new file
     stream_build_triples(read_pages_stream(spark, src, files_per_trigger=1), target)
 

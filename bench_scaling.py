@@ -38,6 +38,11 @@ import time
 REPO = pathlib.Path(__file__).parent
 
 PAGES_PATH = "/dev/shm/glre_bench_pages"
+# Bump when a job's MEASURED CODE changes semantics/shape, so cached bests
+# from the old code can't win the min-merge and mask (or fake) a change.
+# rev 2 (r5): relational switched to the xxhash64-slimmed TF exchange.
+JOB_REVS = {"relational": 2}
+
 REL_PAGES_PATH = "/dev/shm/glre_bench_pages_rel"  # 4× docs: the relational
 # job is ~20× cheaper per doc than inference; a bigger corpus keeps the
 # measured window well above per-job fixed overheads at 4N cores
@@ -200,6 +205,7 @@ def main() -> int:
             and prior["hi"].get("cores") == args.n * 4
             and prior["lo"].get("job") == job
             and prior["hi"].get("job") == job
+            and prior.get("rev", 1) == JOB_REVS.get(job, 1)
         ):
             print(f"# discarding incompatible cached {job} result", file=sys.stderr)
             prior = None
@@ -224,6 +230,7 @@ def main() -> int:
             "lo": lo_best,
             "hi": hi_best,
             "eff": round(eff, 3),
+            "rev": JOB_REVS.get(job, 1),
             **({"lo_stages": lo_stages} if lo_stages else {}),
             **({"hi_stages": hi_stages} if hi_stages else {}),
         }

@@ -69,10 +69,46 @@ def sigscan_job(pages):
 
 def relational_job(pages):
     """Scan/shuffle-bound relational job (zero Python stages): per-doc term
-    frequencies (high-cardinality shuffle on (url, tok)), corpus document
-    frequencies (second shuffle), top-3 docs per token via a partitioned
-    window, joined back. Separates the ENGINE's scaling from the
-    memory-bandwidth-bound numpy inference kernel (VERDICT r01)."""
+    frequencies, corpus document frequencies, top-3 docs per token via a
+    partitioned window, joined back. Separates the ENGINE's scaling from
+    the memory-bandwidth-bound numpy inference kernel (VERDICT r01).
+
+    r5 (VERDICT r4 top_next): the TF stage's (url, tok) key is ~97%
+    distinct, so the partial agg is a no-op and the old job exchanged
+    149 MB of variable-length (url, token) STRING pairs. This version
+    exchanges fixed-width (xxhash64(url), xxhash64(tok)) longs instead
+    and re-attaches both strings only after all aggregation: tokens via
+    a vocab dictionary (tokh → min(tok)) whose own shuffle is tiny
+    (map-side combine IS effective on tok alone), urls via the doc-sized
+    url dimension. Both dict joins touch only the vocab×3-row result;
+    AQE may downgrade them to broadcast when small. The window tie-break
+    is asc(urlh) rather than asc(url) — a different but equally
+    deterministic total order. relational_str keeps the old
+    string-exchange shape verbatim as the A/B control."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = pages.select("url", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = toks.select(
+        F.xxhash64("url").alias("urlh"), F.xxhash64("tok").alias("tokh")
+    )
+    tf = hashed.groupBy("urlh", "tokh").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tokh").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("tokh").orderBy(F.desc("tf"), F.asc("urlh"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    res = top.join(df, "tokh")
+    vocab = toks.groupBy(F.xxhash64("tok").alias("tokh")).agg(
+        F.min("tok").alias("tok")
+    )
+    urls = pages.select(F.xxhash64("url").alias("urlh"), "url").distinct()
+    return res.join(vocab, "tokh").join(urls, "urlh").drop("tokh", "urlh")
+
+
+def relational_str_job(pages):
+    """The pre-r5 relational job (string-keyed TF exchange), kept verbatim
+    as the A/B control for the xxhash64-slimming measurement."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -114,6 +150,8 @@ def _completed_stages(spark) -> list[dict]:
                 "shuf_read_recs": s.get("shuffleReadRecords", 0),
                 "shuf_write_recs": s.get("shuffleWriteRecords", 0),
                 "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "spill_mem_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                "spill_disk_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
             }
         )
     return out
@@ -133,6 +171,8 @@ def run_level(
     )
     if job == "relational":
         run = lambda p: relational_job(p).count()  # noqa: E731
+    elif job == "relational_str":
+        run = lambda p: relational_str_job(p).count()  # noqa: E731
     elif job == "sigscan":
         # collect(), NOT count(): count() of an ungrouped aggregate lets
         # Catalyst prune every aggregate expression (the row count of an
@@ -181,6 +221,113 @@ def run_level(
     }
 
 
+def dup_bench(cores: int, n_docs: int) -> dict:
+    """A/B the flagship on a DUPLICATE-HEAVY corpus (every second doc also
+    appears as a byte-identical mirror under a different url): baseline
+    vs drop_near_dups=True, where the keeper decision (MinHash/LSH →
+    Jaccard → CC → min-id keeper) drops the mirrors BEFORE the inference
+    stage. The claim measured: dedup spend below the Python stage buys
+    back more inference wall than it costs (VERDICT r4 #3)."""
+    from pyspark.sql import functions as F
+
+    from glre_spark.datagen import pages_df
+    from glre_spark.pipeline import build_triples
+    from glre_spark.session import get_spark
+
+    spark = get_spark("glre_dup_bench", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS)
+    base = pages_df(spark, n_docs, partitions=INPUT_SPLITS, sent_range=SENT_RANGE)
+    mirrors = base.filter(F.xxhash64("url") % 2 == 0).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?mirror"))
+    )
+    corpus_path = "/dev/shm/glre_dup_bench_pages"
+    base.unionByName(mirrors).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+
+    out = {"cores": cores, "n_docs": n_docs, "n_corpus_docs": n_corpus}
+    for label, flag in (("baseline", False), ("drop_near_dups", True)):
+        build_triples(spark, corpus.limit(2000), drop_near_dups=flag).count()  # warm
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            n_triples = build_triples(spark, corpus, drop_near_dups=flag).count()
+            walls.append(round(time.time() - t0, 2))
+        out[label] = {
+            "wall_s": min(walls), "walls_all": walls, "triples": n_triples
+        }
+    spark.stop()
+    return out
+
+
+def memory_headroom(cores: int, n_docs: int) -> dict:
+    """The in-sandbox proxy for the 100×-scale memory question (VERDICT
+    r4 #7): run the flagship at ``n_docs`` on local[cores], record peak
+    executor memory (REST executor metrics), total shuffle spill (stage
+    metrics), and the multiset of physical-plan operators — the caller
+    compares the op multiset across doc scales to show the AQE plan shape
+    is stable while memory stays bounded."""
+    import collections
+    import json as _json
+    import re
+    import urllib.request
+
+    from glre_spark.datagen import pages_df
+    from glre_spark.pipeline import build_triples
+    from glre_spark.session import get_spark
+
+    spark = get_spark(
+        f"glre_memhead_{cores}_{n_docs}", cores=cores,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    pages_df(spark, n_docs, partitions=INPUT_SPLITS, sent_range=SENT_RANGE).write.mode(
+        "overwrite"
+    ).parquet("/dev/shm/glre_memhead_pages")
+    pages = spark.read.parquet("/dev/shm/glre_memhead_pages")
+    df = build_triples(spark, pages)
+    t0 = time.time()
+    n_triples = df.count()
+    wall = time.time() - t0
+    # final ADAPTIVE plan operators (AQE has re-planned by now)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+    ops = collections.Counter(
+        m.group(1)
+        for m in re.finditer(r"^[\s+\-:*]*([A-Za-z]+)", plan, re.M)
+        if m.group(1) not in ("AdaptiveSparkPlan",)
+    )
+    stages = _completed_stages(spark)
+    url = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{url}/api/v1/applications/{app_id}/executors") as r:
+        execs = _json.load(r)
+    peak = {}
+    for e in execs:
+        for k, v in (e.get("peakMemoryMetrics") or {}).items():
+            peak[k] = max(peak.get(k, 0), v)
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "triples": n_triples,
+        "wall_s": round(wall, 2),
+        "spill_mem_mb": round(sum(s["spill_mem_mb"] for s in stages), 1),
+        "spill_disk_mb": round(sum(s["spill_disk_mb"] for s in stages), 1),
+        "peak_heap_mb": round(peak.get("JVMHeapMemory", 0) / 1e6),
+        "peak_offheap_mb": round(
+            (peak.get("JVMOffHeapMemory", 0) + peak.get("OffHeapExecutionMemory", 0))
+            / 1e6
+        ),
+        "peak_exec_mem_mb": round(
+            (peak.get("OnHeapExecutionMemory", 0)
+             + peak.get("OffHeapExecutionMemory", 0)) / 1e6
+        ),
+        "peak_python_mb": round(peak.get("ProcessTreePythonRSSMemory", 0) / 1e6),
+        "plan_ops": dict(sorted(ops.items())),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int)
@@ -188,10 +335,21 @@ def main(argv=None) -> int:
     ap.add_argument("--pages", help="path of the materialized pages parquet")
     ap.add_argument("--materialize", help="write the pages corpus here and exit")
     ap.add_argument(
-        "--job", default="flagship", choices=["flagship", "relational", "sigscan"]
+        "--job", default="flagship",
+        choices=["flagship", "relational", "relational_str", "sigscan"],
     )
     ap.add_argument("--stages", action="store_true", help="per-stage metric dump")
+    ap.add_argument("--dup-bench", action="store_true",
+                    help="duplicate-heavy corpus A/B of drop_near_dups")
+    ap.add_argument("--memory-headroom", action="store_true",
+                    help="peak-memory/spill/plan-shape probe of the flagship")
     args = ap.parse_args(argv)
+    if args.dup_bench:
+        print(json.dumps(dup_bench(args.cores or 16, args.n_docs)))
+        return 0
+    if args.memory_headroom:
+        print(json.dumps(memory_headroom(args.cores or 16, args.n_docs)))
+        return 0
     if args.materialize:
         materialize(args.materialize, args.n_docs)
         print(json.dumps({"materialized": args.materialize, "n_docs": args.n_docs}))

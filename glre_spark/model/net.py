@@ -187,6 +187,17 @@ _GATE_MASK = np.zeros((len(_TYPES), len(_TYPES), len(REL_IDS)), dtype=bool)
 for (_th, _tt), _idxs in TYPE_GATE.items():
     _GATE_MASK[_TYPE_IDX[_th], _TYPE_IDX[_tt], _idxs] = True
 
+# Flat type-pair group id → SORTED gated relation columns (ascending, so a
+# per-group argmax breaks float ties exactly like argmax over the full
+# -inf-masked logit row: first hit === lowest relation index). Used by the
+# r5 gated classifier head, which computes logits only at a pair's ≤3
+# legal columns instead of all 97.
+_GATE_COLS = {
+    _TYPE_IDX[th] * len(_TYPES) + _TYPE_IDX[tt]: np.sort(idxs)
+    for (th, tt), idxs in TYPE_GATE.items()
+}
+_GATE_ANY = _GATE_MASK.any(axis=2)  # (6, 6): does this type-pair gate open?
+
 
 class GLREModel:
     """Frozen deterministic GLRE. ``predict(doc)`` → list of
@@ -221,60 +232,107 @@ class GLREModel:
         )
         type_idx = np.array([_TYPE_IDX[t] for t in doc.entity_types], dtype=np.int64)
 
-        # candidate ordered pairs with a non-empty type gate
+        # candidate ordered pairs with a non-empty type gate (the (6, 6)
+        # _GATE_ANY lookup replaces gathering full (ne², 97) mask rows —
+        # the gated head below re-derives each pair's columns from its
+        # type-pair group id)
         hh, tt = np.meshgrid(np.arange(ne), np.arange(ne), indexing="ij")
         hh, tt = hh.ravel(), tt.ravel()
         keep = hh != tt
-        gate_mask = _GATE_MASK[type_idx[hh], type_idx[tt]]        # (ne², R)
-        keep &= gate_mask.any(axis=1)
-        hh, tt, gate_mask = hh[keep], tt[keep], gate_mask[keep]
+        keep &= _GATE_ANY[type_idx[hh], type_idx[tt]]
+        hh, tt = hh[keep], tt[keep]
         if hh.size == 0:
             return []
 
-        # padded per-entity mention tensor: (ne, M, D) + mask
-        M = max(len(c) for c in doc.entities)
-        ment_pad = np.zeros((ne, M, D), dtype=np.float32)
-        ment_msk = np.zeros((ne, M), dtype=bool)
-        for e, cluster in enumerate(doc.entities):
-            ment_pad[e, : len(cluster)] = ment_g[cluster]
-            ment_msk[e, : len(cluster)] = True
         dh = D // HEADS
-        pair_q = np.concatenate([ent_g[hh], ent_g[tt]], axis=1)   # (P, 2D)
-        q = (pair_q @ w["mha_q"]).reshape(-1, HEADS, dh)          # (P, H, dh)
-        k = (ment_pad @ w["mha_k"]).reshape(ne, M, HEADS, dh)
-        v = (ment_pad @ w["mha_v"]).reshape(ne, M, HEADS, dh)
+        # r5: q = concat(ent_h, ent_t) @ mha_q ≡ ent_h @ mha_q[:D] +
+        # ent_t @ mha_q[D:], so the GEMM runs at ne rows once and the pair
+        # fan-out is a gather+add — replaces a (P, 2D) concatenate plus a
+        # (P, 2D)@(2D, D) matmul at P ≈ ne² rows.
+        qh_e = ent_g @ w["mha_q"][:D]                             # (ne, D)
+        qt_e = ent_g @ w["mha_q"][D:]                             # (ne, D)
+
+        # r5 single-mention shortcut: ~91% of this corpus' entities have
+        # exactly ONE mention, and softmax over one slot is exactly 1.0, so
+        # their local rep is query-independent: v[e, 0] @ mha_o, a
+        # per-ENTITY matmul chain with no pair fan-out. Only multi-mention
+        # entities get the padded tensor + per-pair attention, at ~9% of
+        # the former (P, M, H, dh) gather/einsum volume. The two role
+        # passes stay SEPARATE — fusing them into one (2P, …) einsum
+        # measured 1.4× slower (the doubled gather spills L2, same cache
+        # cliff as cross-doc batching, see class docstring).
+        n_ment = np.array([len(c) for c in doc.entities], dtype=np.int64)
+        first_idx = np.array([c[0] for c in doc.entities], dtype=np.int64)
+        l_single = (ment_g[first_idx] @ w["mha_v"]) @ w["mha_o"]  # (ne, D)
+        multi = n_ment > 1
+        midx = np.nonzero(multi)[0]
+        if midx.size:
+            remap = np.zeros(ne, dtype=np.int64)
+            remap[midx] = np.arange(midx.size)
+            M = int(n_ment[midx].max())
+            ment_pad = np.zeros((midx.size, M, D), dtype=np.float32)
+            ment_msk = np.zeros((midx.size, M), dtype=bool)
+            for j, e in enumerate(midx):
+                cluster = doc.entities[e]
+                ment_pad[j, : len(cluster)] = ment_g[cluster]
+                ment_msk[j, : len(cluster)] = True
+            k = (ment_pad @ w["mha_k"]).reshape(midx.size, M, HEADS, dh)
+            v = (ment_pad @ w["mha_v"]).reshape(midx.size, M, HEADS, dh)
 
         def batched_local(ent_idx: np.ndarray) -> np.ndarray:
-            """i9 for all pairs at once, one entity role: (P, D). NB: the
-            two role passes are deliberately SEPARATE — fusing them into
-            one (2P, M, H, dh) einsum measured 1.4× slower (the doubled
-            gather spills L2, same cache cliff as cross-doc batching)."""
-            ke, ve, me = k[ent_idx], v[ent_idx], ment_msk[ent_idx]
-            scores = np.einsum("phd,pmhd->phm", q, ke) / np.sqrt(dh)
-            scores = np.where(me[:, None, :], scores, -np.inf)
-            att = _softmax(scores, axis=2)
-            return np.einsum("phm,pmhd->phd", att, ve).reshape(-1, D) @ w["mha_o"]
+            """i9 for all pairs at once, one entity role: (P, D)."""
+            out = l_single[ent_idx]          # fancy index → fresh array
+            rows = np.nonzero(multi[ent_idx])[0]
+            if rows.size:
+                ei = remap[ent_idx[rows]]
+                qq = (qh_e[hh[rows]] + qt_e[tt[rows]]).reshape(-1, HEADS, dh)
+                ke, ve, me = k[ei], v[ei], ment_msk[ei]
+                scores = np.einsum("phd,pmhd->phm", qq, ke) / np.sqrt(dh)
+                scores = np.where(me[:, None, :], scores, -np.inf)
+                att = _softmax(scores, axis=2)
+                out[rows] = (
+                    np.einsum("phm,pmhd->phd", att, ve).reshape(-1, D)
+                    @ w["mha_o"]
+                )
+            return out
 
         l_h = batched_local(hh)
         l_t = batched_local(tt)
         dist = np.minimum(np.abs(first_sent[hh] - first_sent[tt]), N_DIST - 1)
-        # preallocate + slice-assign: same values as np.concatenate of the
-        # six blocks without the intermediate broadcast_to copy
-        feat = np.empty((hh.size, 5 * D + w["dist"].shape[1]), dtype=np.float32)
-        feat[:, 0 * D : 1 * D] = ent_g[hh]
-        feat[:, 1 * D : 2 * D] = l_h
-        feat[:, 2 * D : 3 * D] = ent_g[tt]
-        feat[:, 3 * D : 4 * D] = l_t
-        feat[:, 4 * D : 5 * D] = ctx
-        feat[:, 5 * D :] = w["dist"][dist]
-        hid = np.maximum(feat @ w["ff1_w"] + w["ff1_b"], 0.0)
-        logits = hid @ w["ff2_w"] + w["ff2_b"]                    # (P, R)
-        # sigmoid is monotone → argmax over gated LOGITS picks the same
-        # relation as argmax over gated probs; exp() then runs on P values
-        # instead of P×97 (it was the single hottest ufunc)
-        masked = np.where(gate_mask, logits, -np.inf)
-        best = masked.argmax(axis=1)
-        score = _sigmoid(masked[np.arange(hh.size), best])
+        # r5 FF restructure: feat @ ff1_w decomposes over ff1_w's six row
+        # blocks, and four of the six feat blocks are constant per entity
+        # (ent_g[hh], ent_g[tt]), per doc (ctx + bias), or per distance
+        # bucket (w["dist"]) — push those through their block at ne / 1 / 7
+        # rows and fan out by gather+add; only l_h and l_t (genuinely
+        # pair-specific) hit ff1 at P rows. Same values as the old
+        # (P, 168) @ (168, 64) GEMM up to float32 summation order (~1e-7
+        # score shift — verified not to flip any golden prediction, same
+        # standard as build_nodes' prefix-sum note above).
+        F1 = w["ff1_w"]
+        hid = (ent_g @ F1[0 * D : 1 * D])[hh]                     # (P, F)
+        hid += (ent_g @ F1[2 * D : 3 * D])[tt]
+        hid += l_h @ F1[1 * D : 2 * D]
+        hid += l_t @ F1[3 * D : 4 * D]
+        hid += ctx @ F1[4 * D : 5 * D] + w["ff1_b"]
+        hid += (w["dist"] @ F1[5 * D :])[dist]
+        np.maximum(hid, 0.0, out=hid)
+        # r5 gated head: a pair's legal relations are the ≤3 _GATE_COLS of
+        # its type-pair group, so compute logits ONLY at those columns
+        # (8 tiny GEMMs per doc) instead of the full (P, 97) matmul + -inf
+        # mask + 97-wide argmax. Columns are ascending, so the per-group
+        # argmax resolves float ties to the lowest relation index exactly
+        # like the old full-row masked argmax. sigmoid stays monotone →
+        # argmax over gated logits === argmax over gated probs.
+        gidx = type_idx[hh] * len(_TYPES) + type_idx[tt]
+        best = np.zeros(hh.size, dtype=np.int64)
+        score = np.zeros(hh.size, dtype=np.float64)
+        for gid in np.unique(gidx):
+            cols = _GATE_COLS[int(gid)]
+            sel = gidx == gid
+            lg = hid[sel] @ w["ff2_w"][:, cols] + w["ff2_b"][cols]
+            bi = lg.argmax(axis=1)
+            best[sel] = cols[bi]
+            score[sel] = _sigmoid(lg[np.arange(lg.shape[0]), bi])
         emit = score > self.threshold
         return [
             (int(h), int(t), REL_IDS[int(b)], float(s))

@@ -60,85 +60,66 @@ def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 
 
+# Side-effect hooks run when the oracle SQL set is handed out: an oracle
+# that reads a file the OP normally materializes (scan_docred_json's
+# nested-JSON corpus) registers a prep here so the file exists even if the
+# driver runs DuckDB before the Spark query.
+_ORACLE_PREP: list[Callable[[], None]] = []
+
+
 def all_oracle_sql() -> dict[str, str]:
     _ensure_loaded()
+    for prep in _ORACLE_PREP:
+        prep()
     return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
 
 
 _LOADED = False
 
 # Driver-window priority. The driver's CORRECTNESS snapshot takes the first
-# 50 ``queries()`` entries in registry order. Round-4 rotation (VERDICT r3
-# next-round #5): ops whose code changed in r4 register FIRST so the driver
-# re-proves them (UDF-surface rewrites + new simhash twin; the flagship /
-# lineage / dedup-family paths touched by the streaming-exactness and
-# cache-fingerprint changes); then the ops whose only driver evidence is r1
-# (oldest); then the r2-proven relational families. The r3-proven windows /
-# scalar-fn / text_* / ann / mm families (unchanged since their green rows)
-# slide to the tail. Names absent from this list keep their module-import
-# order after it.
+# 50 ``queries()`` entries in registry order. Round-5 rotation (VERDICT r4
+# next-round #5): ops whose code changed in r5 register FIRST so the driver
+# re-proves them (the net.py kernel rewrite behind every glre_* op, the
+# kgops _sig_of/_bands_of refactor behind the whole minhash/LSH/dedup
+# family, the pipeline drop_near_dups plumbing behind the sinks, the
+# streaming module's write-ordering/heal changes) plus the two new
+# streaming entries and the two newly-twinned ops; then the ops whose
+# latest driver evidence is oldest (mm_*/set/link/resume, r2); then the
+# r3-proven windows / scalar-fn / text_* / ann families. Everything
+# r4-proven and untouched slides to the tail. Names absent from this list
+# keep their module-import order after it.
 _PRIORITY: list[str] = [
-    # -- new in r4 --
-    "split_holdout",           # deterministic hash-based corpus splits
-    "dedup_keeper_table",      # end-to-end dedup decision (pairs→CC→keeper)
-    # -- changed in r4: re-prove (16) --
-    "udf_scalar_pandas",       # rewritten with DuckDB twin (r4)
-    "udf_iter_pandas",         # rewritten with DuckDB twin (r4)
-    "simhash_dedup",           # DuckDB twin added (r4)
-    "glre_infer_triples",      # pipeline group plumbing + eligible_pages refactor
+    # -- new in r5 --
+    "dedup_events_stream",     # streaming exact dedup, full twin
+    "compact_stream_triples",  # stream log lifecycle (build→compact→read)
+    "scan_docred_json",        # twin added (deterministic nested-JSON file)
+    "mm_image_ahash",          # twin added (integer-exact block-mean hash)
+    # -- changed in r5: re-prove (16) --
+    "glre_infer_triples",      # net.py pair-stage rewrite (2.7× kernel)
     "glre_extract_text",
     "glre_cluster_entities",
     "glre_entity_table",
-    "lsh_candidates",          # capped_bands cache key change
+    "minhash_sig",             # kgops _sig_of/_bands_of refactor
+    "lsh_band",
+    "lsh_candidates",
     "dedup_ngram_jaccard",
-    "udf_grouped_map",
-    "sink_triples",            # lineage obs.get hardening
+    "dedup_keeper_table",
+    "udf_grouped_map",         # shares the candidate CTE path
+    "sink_triples",            # pipeline drop_near_dups plumbing
     "sink_entities",
     "sink_metrics",
     "ckpt_manifest",
     "stateful_user_totals",    # streaming module touched
-    "dedup_exact",
-    # -- oldest driver evidence (r1 only) (7) --
-    "limit_topn",
-    "str_normalize",
-    "str_split_tokens",
-    "str_shingle",
-    "str_concat_fmt",
-    "hash_fns",
-    "sample_frac",
-    # -- r2-proven relational families (fill the window) --
-    "scan_parquet",
-    "scan_pages",
-    "project_select",
-    "filter_lang",
-    "filter_pred",
-    "filter_len",
-    "join_inner_eq",
-    "join_broadcast",
-    "join_salted_skew",
-    "join_left_semi",
-    "join_left_anti",
-    "join_outer",
-    "join_theta_range",
-    "join_asof",
-    "join_self_block",
-    "join_cross_small",
-    "agg_groupby",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_collect_list",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_distinct_rows",
-    "sort_global",
-    "set_union",
+    "simhash_dedup",           # neighbor of the refactored shingle helpers
+    # -- oldest driver evidence (r2) (7) --
+    "mm_image_meta",
+    "mm_frame_sample",
+    "mm_audio_features",
     "set_intersect",
     "set_except",
-    # -- tail: r3-proven, unchanged since their green rows --
+    "link_alias_broadcast",
     "resume_filter",
-    "repartition_urlhash",
-    "minhash_sig",
-    "lsh_band",
+    # -- r3-proven families (fill the window to 50) --
     "cc_label_prop",
     "canonicalize",
     "dedup_triples",
@@ -168,11 +149,44 @@ _PRIORITY: list[str] = [
     "udf_grouped_agg",
     "udtf_sent_split",
     "sort_within_part",
-    "scan_docred_json",
-    "mm_image_meta",
-    "mm_image_ahash",
-    "mm_frame_sample",
-    "mm_audio_features",
+    "sample_frac",
+    "repartition_urlhash",
+    # -- tail: r4-proven, unchanged since their green rows --
+    "split_holdout",
+    "udf_scalar_pandas",
+    "udf_iter_pandas",
+    "dedup_exact",
+    "limit_topn",
+    "str_normalize",
+    "str_split_tokens",
+    "str_shingle",
+    "str_concat_fmt",
+    "hash_fns",
+    "scan_parquet",
+    "scan_pages",
+    "project_select",
+    "filter_lang",
+    "filter_pred",
+    "filter_len",
+    "join_inner_eq",
+    "join_broadcast",
+    "join_salted_skew",
+    "join_left_semi",
+    "join_left_anti",
+    "join_outer",
+    "join_theta_range",
+    "join_asof",
+    "join_self_block",
+    "join_cross_small",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_collect_list",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_distinct_rows",
+    "sort_global",
+    "set_union",
 ]
 
 

@@ -134,17 +134,20 @@ def _perm_hash(i: int):
     return lambda h: F.pmod(a * h + b, F.lit(_P).cast("bigint"))
 
 
-def _sig_df(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingle_hash_col(F.col("text")).alias("hs")
-    )
-    return docs.select(
+def _sig_of(docs):
+    """MinHash signature of an arbitrary (doc_id, text) DataFrame."""
+    hs = docs.select("doc_id", _shingle_hash_col(F.col("text")).alias("hs"))
+    return hs.select(
         "doc_id",
         *[
             F.array_min(F.transform(F.col("hs"), _perm_hash(i))).alias(f"mh{i}")
             for i in range(_K)
         ],
     )
+
+
+def _sig_df(spark, sf_dir):
+    return _sig_of(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @op("minhash_sig", "WITH " + _SIG_CTE + " SELECT * FROM sig")
@@ -163,9 +166,8 @@ _BAND_SELECTS = " UNION ALL ".join(
 )
 
 
-@op("lsh_band", "WITH " + _SIG_CTE + " " + _BAND_SELECTS)
-def lsh_band(spark, sf_dir):
-    sig = _sig_df(spark, sf_dir)
+def _bands_of_sig(sig):
+    """Signature → one (doc_id, band_id, band_hash) row per LSH band."""
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"mh{b * _R + j}") for j in range(_R)]))
@@ -175,6 +177,11 @@ def lsh_band(spark, sf_dir):
     return sig.select(
         "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
     ).select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
+
+
+@op("lsh_band", "WITH " + _SIG_CTE + " " + _BAND_SELECTS)
+def lsh_band(spark, sf_dir):
+    return _bands_of_sig(_sig_df(spark, sf_dir))
 
 
 MAX_LSH_BLOCK = 64  # block-size cap: one hot band bucket would otherwise go
@@ -214,11 +221,25 @@ cand AS (
 _BANDS_CACHE: dict[tuple, object] = {}
 
 
+_FINGERPRINT_EPOCH = 0  # bumped per call for non-local paths → cache miss
+
+
 def _input_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
     """Cheap content fingerprint of a parquet table: (name, size, mtime_ns)
     of every data file. Catches same-path overwrites within one Spark app
-    without reading any data."""
+    without reading any data. LOCAL filesystem only: for a URI-scheme path
+    (hdfs://, s3a://, …) os.stat can't see the files, every file would
+    fingerprint as (-1, -1) and a same-path overwrite would silently hit
+    the stale cache — so such paths get a never-matching epoch token
+    (cache effectively disabled; a cluster deployment would fold in a
+    Hadoop FileSystem listing instead)."""
     import os
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", sf_dir):
+        global _FINGERPRINT_EPOCH
+        _FINGERPRINT_EPOCH += 1
+        return ("__non_local_path__", _FINGERPRINT_EPOCH)
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(path):
@@ -554,6 +575,61 @@ def dedup_keeper_table(spark, sf_dir):
     comps = connected_components(ver)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.join(comps, docs.doc_id == comps.id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
+        (F.coalesce(F.col("component"), F.col("doc_id")) != F.col("doc_id")).alias(
+            "is_dup"
+        ),
+    )
+
+
+def near_dup_keepers(
+    docs, tau: float = _KEEPER_TAU, max_block: int = MAX_LSH_BLOCK
+):
+    """dedup_keeper_table's decision generalized to an ARBITRARY
+    (doc_id bigint, text string) DataFrame — no sf_dir, no cache — so the
+    flagship pipeline can compose it below its inference stage
+    (pipeline.build_triples(drop_near_dups=True)). Same machinery end to
+    end: MinHash → capped LSH blocks → exact hashed-shingle Jaccard ≥ τ →
+    connected components → (doc_id, keeper, is_dup), min-id keeper. Zero
+    Python stages; every join is bounded by the block cap, never
+    all-pairs."""
+    from glre_spark.linking import connected_components
+
+    docs = docs.select("doc_id", "text")
+    bands = _bands_of_sig(_sig_of(docs))
+    sized = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
+    capped = bands.join(
+        F.broadcast(
+            sized.filter(F.col("bn") <= max_block).select("band_id", "band_hash")
+        ),
+        ["band_id", "band_hash"],
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "band_id", "band_hash")
+    b = capped.select(F.col("doc_id").alias("id_b"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
+    )
+    ver = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= tau
+        )
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(ver)
+    ids = docs.select("doc_id")
+    return ids.join(comps, ids.doc_id == comps.id, "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper"),
         (F.coalesce(F.col("component"), F.col("doc_id")) != F.col("doc_id")).alias(

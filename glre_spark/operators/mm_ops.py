@@ -63,7 +63,57 @@ def mm_image_meta(spark, sf_dir):
     return media.mapInPandas(parse, "doc_id long, width int, height int, n_bytes long")
 
 
-@op("mm_image_ahash", None)  # perceptual-hash values → rows-only (pytest has a python oracle)
+@op(
+    "mm_image_ahash",
+    # The oracle recomputes the full hash from the generator formulas
+    # (multimodal.py): pixel k of doc d = byte k%16 of md5('img{d}:{k//16}'),
+    # image w×h = (16 + d%48, 16 + 7d%48), cropped to (8⌊w/8⌋, 8⌊h/8⌋).
+    # ahash bit i (i<63) is set iff block-mean(i) > mean of the 64 block
+    # means; every block has the SAME pixel count bh·bw, so the float
+    # comparison rewrites EXACTLY as integers: 64·block_sum > total_sum —
+    # no float summation-order hazard between numpy and DuckDB (r5,
+    # VERDICT r4 #6; previously rows-only with a python-oracle pytest).
+    """WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         ((16 + (doc_id * 7) % 48) // 8) AS bh,
+         ((16 + doc_id % 48) // 8) AS bw
+  FROM documents
+),
+cells AS (
+  SELECT d.doc_id, d.w, d.bh, d.bw, r.r, c.c
+  FROM dims d
+  JOIN range(0, 64) r(r) ON r.r < d.bh * 8
+  JOIN range(0, 64) c(c) ON c.c < d.bw * 8
+),
+px AS (
+  SELECT doc_id, bh, bw,
+         (r // bh) * 8 + (c // bw) AS cell,
+         md5('img' || CAST(doc_id AS VARCHAR) || ':'
+             || CAST((r * w + c) // 16 AS VARCHAR)) AS hx,
+         (r * w + c) % 16 AS off
+  FROM cells
+),
+pv AS (
+  SELECT doc_id, cell,
+         (strpos('0123456789abcdef', substr(hx, 2 * off + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(hx, 2 * off + 2, 1)) - 1 AS v
+  FROM px
+),
+blocks AS (
+  SELECT doc_id, cell, SUM(v) AS bsum FROM pv GROUP BY doc_id, cell
+),
+tot AS (SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY doc_id),
+ah AS (
+  SELECT b.doc_id,
+         SUM(CASE WHEN b.cell < 63 AND 64 * b.bsum > t.tsum
+                  THEN CAST(1 AS BIGINT) << b.cell ELSE 0 END)::BIGINT AS ahash
+  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+  GROUP BY b.doc_id
+)
+SELECT ahash, COUNT(*)::BIGINT AS n, MIN(doc_id)::BIGINT AS keeper
+FROM ah GROUP BY ahash""",
+)
 def mm_image_ahash(spark, sf_dir):
     """Resize (8×8 block-mean) + average-hash per image, vectorized numpy
     inside ONE Arrow stage; grouped to surface perceptual collisions (the

@@ -67,3 +67,90 @@ def stateful_user_totals_op(spark, sf_dir):
         )
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+@op(
+    "dedup_events_stream",
+    # Full twin (r5, VERDICT r4 #8): the stream sees every original event
+    # exactly once plus late RE-DELIVERIES of the newest events (ts within
+    # 10 min of the corpus max — inside the 30-min watermark, so their
+    # dedup state cannot have been evicted when the re-delivery batch
+    # arrives); dropDuplicatesWithinWatermark keeps first occurrences
+    # only, so the result is exactly the events table. Values pass through
+    # untouched (no arithmetic) → bit-identical doubles.
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def dedup_events_stream_op(spark, sf_dir):
+    """Streaming exact dedup driven end-to-end: stage the events table as
+    a multi-file stream source (oldest mtimes), append a re-delivery file
+    (newest mtime → a LATER micro-batch) duplicating the most recent
+    events, and run streaming.dedup_events_stream to an append-mode
+    memory sink. The cross-micro-batch re-deliveries must vanish."""
+    import os
+    import time
+
+    from glre_spark.streaming import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="dedup_events_")
+    name = f"dedup_events_mem_{next(_MEM_SEQ)}"
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.repartition(8).write.mode("overwrite").parquet(src_dir)
+        now = time.time()
+        for f in sorted(os.listdir(src_dir)):
+            if f.startswith("part-"):
+                os.utime(os.path.join(src_dir, f), (now - 600, now - 600))
+        (max_ts,) = ev.agg(F.max("ts")).first()
+        dups = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES"))
+        dups.coalesce(1).write.mode("append").parquet(src_dir)
+        for f in sorted(os.listdir(src_dir)):
+            p = os.path.join(src_dir, f)
+            if f.startswith("part-") and os.path.getmtime(p) > now - 300:
+                os.utime(p, (now, now))  # the re-delivery file arrives LAST
+        run_stream_to_memory(
+            dedup_events_stream(read_events_stream(spark, src_dir)),
+            name,
+            mode="append",
+        )
+        return (
+            spark.table(name)
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+@op("compact_stream_triples", None)  # model inference inside → rows-only
+def compact_stream_triples_op(spark, sf_dir):
+    """The streaming KG log lifecycle as one driver-checkable surface
+    (r5, VERDICT r4 #8): synthesize pages for the first 60 doc_ids of the
+    documents table, stream-build the crawl-granular triple log in
+    micro-batches, COMPACT it (fold the latest-crawl resolution into the
+    log), and return the post-compaction read — which tests assert equals
+    the pre-compaction read and the one-shot batch run
+    (tests/test_streaming.py::test_stream_log_compaction)."""
+    from glre_spark.datagen import pages_from_docs
+    from glre_spark.streaming import (
+        compact_stream_triples,
+        read_pages_stream,
+        read_stream_triples,
+        stream_build_triples,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_compact_")
+    src, target = f"{work}/pages", f"{work}/triples"
+    try:
+        docs = load(spark, sf_dir, "documents").filter("doc_id < 60")
+        pages_from_docs(docs, partitions=4).write.parquet(src)
+        stream_build_triples(
+            read_pages_stream(spark, src, files_per_trigger=2), target
+        )
+        compact_stream_triples(spark, target)
+        return read_stream_triples(spark, target).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -9,7 +9,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from glre_spark.operators import load, op
+from glre_spark.operators import _ORACLE_PREP, load, op
 
 
 def _grouped_map_sql():
@@ -95,14 +95,23 @@ def udf_grouped_agg(spark, sf_dir):
     )
 
 
-@op("scan_docred_json", None)  # nested ingest → rows-only
-def scan_docred_json(spark, sf_dir):
-    """DocRED-format nested JSON ingest (SURVEY.md §2.1): the corpus
-    rendered as {title, sents, vertexSet, labels} rows, read back with an
-    explicit nested schema and flattened to per-label rows."""
-    import json
-    import tempfile
+# Deterministic materialization path for the DocRED-format corpus: both
+# the Spark op and its DuckDB oracle read THIS file, so the twin checks
+# the nested-ingest path itself (schema projection + label flattening)
+# rather than re-deriving model predictions (SQL can't). Versioned name:
+# bump if the rendered content ever changes, so a stale file from an
+# older code revision can't poison either side.
+_DOCRED_PATH = "/tmp/glre_docred_corpus_v1.json"
 
+
+def _materialize_docred(path: str = _DOCRED_PATH) -> str:
+    """Write the 40-doc DocRED-shaped nested JSON (deterministic: frozen
+    model over gen_pages(40)) if not already present; returns the path."""
+    import json
+    import os
+
+    if os.path.exists(path):
+        return path
     from glre_spark.datagen import gen_pages
     from glre_spark.model import GLREModel, build_weights
     from glre_spark.model.net import infer_doc
@@ -135,15 +144,48 @@ def scan_docred_json(spark, sf_dir):
                 ],
             }
         )
-    tmp = tempfile.mkdtemp(prefix="docred_")
-    with open(f"{tmp}/docred.json", "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(docs, f)
+    os.replace(tmp, path)  # atomic: concurrent callers see whole files only
+    return path
+
+
+_ORACLE_PREP.append(_materialize_docred)
+
+
+@op(
+    "scan_docred_json",
+    # r5 (VERDICT r4 #6, was rows-only): both engines read the SAME
+    # deterministic nested-JSON file and flatten labels. explode_outer's
+    # keep-one-NULL-row-for-empty behavior is mirrored by UNIONing an
+    # all-NULL row per zero-label doc (NOT a title join — titles are urls
+    # and the corpus contains recrawls, so titles are non-unique and a
+    # join would fan out).
+    f"""WITH d AS (
+  SELECT * FROM read_json('{_DOCRED_PATH}', format = 'array')
+),
+flat AS (SELECT title, UNNEST(labels) AS l FROM d)
+SELECT title,
+       CAST(l.h AS INTEGER) AS h,
+       CAST(l.t AS INTEGER) AS t,
+       CAST(l.r AS VARCHAR) AS r
+FROM flat
+UNION ALL
+SELECT title, NULL::INTEGER, NULL::INTEGER, NULL::VARCHAR
+FROM d WHERE len(labels) = 0""",
+)
+def scan_docred_json(spark, sf_dir):
+    """DocRED-format nested JSON ingest (SURVEY.md §2.1): the corpus
+    rendered as {title, sents, vertexSet, labels} rows, read back with an
+    explicit nested schema and flattened to per-label rows."""
+    tmp = _materialize_docred()
     schema = (
         "title string, sents array<array<string>>, "
         "vertexSet array<array<struct<name:string, sent_id:int, pos:array<int>, type:string>>>, "
         "labels array<struct<h:int, t:int, r:string, evidence:array<int>>>"
     )
-    df = spark.read.json(f"{tmp}/docred.json", schema=schema, multiLine=True)
+    df = spark.read.json(tmp, schema=schema, multiLine=True)
     return (
         df.select("title", F.explode_outer("labels").alias("l"))
         .select(

@@ -128,7 +128,8 @@ def build_triples(spark: SparkSession, pages: DataFrame,
                   use_extractor: bool = True, partitions: int | None = None,
                   cluster_entities: bool = False,
                   group_col: str | None = None,
-                  group_type: str = "int") -> DataFrame:
+                  group_type: str = "int",
+                  drop_near_dups: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → deduped triples.
 
     ``cluster_entities=True`` adds the cross-document entity-cluster merge
@@ -140,7 +141,22 @@ def build_triples(spark: SparkSession, pages: DataFrame,
     or the streaming crawl_key string — ``group_type`` gives its Spark
     type): dedup becomes group-scoped and the column rides to the output
     so the checkpointed run can partition its sink by it in ONE pass and
-    the streaming log can keep crawl granularity."""
+    the streaming log can keep crawl granularity.
+
+    ``drop_near_dups=True`` composes the dedup DECISION
+    (kgops.near_dup_keepers: MinHash/LSH → Jaccard-verified → connected
+    components → min-id keeper) BELOW the inference stage: non-keeper
+    pages are dropped by a left-semi join before any Python runs, the way
+    a training-data pipeline spends its dedup pass to save its model
+    pass. The decision shingles the page's stored content (html when
+    ``use_extractor``, else text) so it adds zero extraction stages.
+    Stream-parity note: the streaming path deliberately leaves this OFF —
+    a near-dup decision inside foreachBatch would be batch-LOCAL (it
+    can't see near-dups that arrived in earlier micro-batches), so
+    stream ≡ batch exactness (test_streaming) holds only for the
+    recrawl/as-of dedup, not for cross-batch near-dup dropping; at scale
+    the keeper table is a periodic batch job joined against the log
+    instead."""
     from glre_spark.linking import apply_name_clusters, cluster_names
 
     from glre_spark.inference import infer_stage_agg
@@ -149,6 +165,20 @@ def build_triples(spark: SparkSession, pages: DataFrame,
         pages, use_extractor=use_extractor, partitions=partitions,
         carry_cols=[group_col] if group_col else [],
     )
+    if drop_near_dups:
+        from glre_spark.operators.kgops import near_dup_keepers
+
+        content = (
+            F.col("html").cast("string") if use_extractor else F.col("text")
+        )
+        ided = docs.withColumn("_nid", F.xxhash64("url"))
+        keepers = near_dup_keepers(
+            ided.select(F.col("_nid").alias("doc_id"), content.alias("text"))
+        )
+        keep_ids = keepers.filter(~F.col("is_dup")).select(
+            F.col("doc_id").alias("_nid")
+        )
+        docs = ided.join(keep_ids, "_nid", "left_semi").drop("_nid")
     preds = infer_stage_agg(
         docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor,
         group_col=group_col, group_type=group_type,

@@ -238,7 +238,8 @@ def _crawl_key():
 
 
 def stream_build_triples(
-    pages_stream: DataFrame, target: str, timeout_s: int = 600
+    pages_stream: DataFrame, target: str, timeout_s: int = 600,
+    validate_warc: bool = False,
 ) -> None:
     """Incremental KG construction (the crawl-as-it-arrives shape): each
     micro-batch of pages runs the SAME batch pipeline (pipeline.
@@ -276,19 +277,46 @@ def stream_build_triples(
     — the price of incremental exactness. At web scale a periodic
     compaction job can fold the read-time resolution into the log (drop
     rows of superseded crawl_keys, then re-aggregate) without changing any
-    reader's result, because the resolution is idempotent."""
+    reader's result, because the resolution is idempotent.
+
+    ``validate_warc=True`` turns the WARC-invariant precondition (see
+    _crawl_key: one page body per (url, warc_ts)) from a docstring into a
+    per-micro-batch check: a malformed feed delivering two DIFFERENT
+    bodies under one crawl_key fails the batch loudly instead of silently
+    merging both versions' triples. Off by default — it costs one extra
+    agg pass over each micro-batch.
+
+    Write ordering is deliberate: triples append BEFORE the registry
+    append. A crash between the two leaves triple rows whose crawl_key no
+    registry entry elects — readers drop them (the batch reads as
+    never-happened) and the checkpoint replay re-appends bit-identical
+    rows that _dedup_replays collapses. The reverse order would register
+    the new crawl as a url's winner with ZERO triples in the log, making
+    that url's triples vanish until (if ever) the batch is replayed."""
     from glre_spark.pipeline import build_triples, eligible_pages
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         keyed = batch_df.withColumn("crawl_key", _crawl_key())
-        (
-            eligible_pages(keyed)
-            .select("url", "crawl_key")
-            .distinct()
-            .write.mode("append")
-            .parquet(target + "_crawls")
-        )
+        if validate_warc:
+            bad = (
+                keyed.groupBy("crawl_key")
+                .agg(
+                    F.count_distinct(
+                        F.md5(F.coalesce("html", F.col("text").cast("binary")))
+                    ).alias("n_bodies")
+                )
+                .filter(F.col("n_bodies") > 1)
+                .limit(3)
+                .collect()
+            )
+            if bad:
+                keys = [r["crawl_key"] for r in bad]
+                raise ValueError(
+                    "WARC invariant violated: multiple distinct page bodies "
+                    f"share one (url, warc_ts) crawl_key — e.g. {keys}; "
+                    "refusing to merge ambiguous page versions"
+                )
         triples = build_triples(
             spark, keyed, group_col="crawl_key", group_type="string"
         )
@@ -296,6 +324,13 @@ def stream_build_triples(
             triples.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")
             .parquet(target)
+        )
+        (
+            eligible_pages(keyed)
+            .select("url", "crawl_key")
+            .distinct()
+            .write.mode("append")
+            .parquet(target + "_crawls")
         )
 
     q = (
@@ -309,11 +344,32 @@ def stream_build_triples(
         raise TimeoutError(f"streaming KG build still running after {timeout_s}s")
 
 
+def _heal_compact_swap(path: str) -> None:
+    """Crash-recovery probe for compact_stream_triples' two-rename swap.
+    Between rename(live → bak) and rename(tmp → live) the live dir does
+    not exist; if a crash landed in that window, restore the backup. If
+    the crash instead landed AFTER the swap but before the backup rmtree,
+    the live dir is the new log and the backup is stale — delete it so no
+    later heal can resurrect pre-compaction data. Local-filesystem paths
+    only (the sandbox's lake); at real scale the whole swap is one
+    Iceberg/Delta REPLACE transaction and this probe is moot."""
+    import os
+    import shutil
+
+    bak = path + "_compact_bak"
+    if os.path.exists(bak):
+        if not os.path.exists(path):
+            os.rename(bak, path)
+        else:
+            shutil.rmtree(bak)
+
+
 def _crawl_winners(spark: SparkSession, target: str) -> DataFrame:
     """The single winner-election rule shared by reads and compaction:
     per url, the registered crawl with max crawl_key (== max warc_ts, see
     _CRAWL_TS_FMT). One definition — compaction can never elect
     differently than a read."""
+    _heal_compact_swap(target + "_crawls")
     return (
         spark.read.parquet(target + "_crawls")
         .groupBy("url")
@@ -348,12 +404,18 @@ def compact_stream_triples(spark: SparkSession, target: str) -> dict:
     ``target`` — an append landing between the rewrite scan and the swap
     below would be lost (at scale this whole op is one Iceberg/Delta
     REPLACE transaction, which conflicts-or-serializes with appends
-    instead). The swap keeps a backup dir so a crash mid-swap never
-    leaves the log missing. Returns {"rows_before", "rows_after"}."""
+    instead). The two-rename swap has a crash window in which the live
+    dir briefly does not exist; every log/registry access (here and in
+    _crawl_winners / read_stream_triples) first runs _heal_compact_swap,
+    which restores the backup after a mid-swap crash and clears a stale
+    backup after a post-swap crash — so a crashed compaction self-repairs
+    on the next touch. Returns {"rows_before", "rows_after"}."""
     import os
     import shutil
 
     crawls_path = target + "_crawls"
+    _heal_compact_swap(target)
+    _heal_compact_swap(crawls_path)
     winners = _crawl_winners(spark, target)
     log = _dedup_replays(spark.read.parquet(target))
     kept = log.join(winners.select("crawl_key"), "crawl_key", "left_semi")
@@ -381,6 +443,7 @@ def read_stream_triples(spark: SparkSession, target: str) -> DataFrame:
     nothing."""
     from glre_spark.linking import dedup_triples
 
+    _heal_compact_swap(target)
     winners = _crawl_winners(spark, target).select("crawl_key")
     log = _dedup_replays(spark.read.parquet(target)).drop("batch_id")
     kept = log.join(winners, "crawl_key", "left_semi").drop("crawl_key")

@@ -52,6 +52,7 @@ def test_relational_ops_have_no_python_udfs(spark):
         # multimodal ops: binary decode is inherently an Arrow/Python stage
         # (that IS the op); their SQL twins oracle the generator formulas
         "mm_image_meta", "mm_frame_sample", "mm_audio_features",
+        "mm_image_ahash",  # r5 twin: integer-exact block-mean hash in SQL
     }
     for name, (fn, sql) in sorted(REGISTRY.items()):
         if sql is None or name in exceptions:
@@ -109,3 +110,24 @@ def test_aggregate_early_before_linking(spark):
     # (recrawls collapse BEFORE the fat-row exchange), not a sort-window
     assert "partial_max_by" in plan
     assert "Window" not in plan  # no window operator anywhere in the flagship
+
+
+def test_keeper_semi_join_below_inference_stage(spark):
+    """drop_near_dups: the keeper left-semi join must sit BELOW the fused
+    inference MapInPandas in the physical plan — near-dups are dropped
+    before any Python runs (VERDICT r4 #3). Tree print order is parent
+    first, so the inference stage (topmost MapInPandas) must appear above
+    the semi join, which must appear above the corpus-gen MapInPandas."""
+    from glre_spark.datagen import pages_df
+    from glre_spark.pipeline import build_triples
+
+    df = build_triples(
+        spark, pages_df(spark, 40, partitions=2), drop_near_dups=True
+    )
+    tree = plan_of(df).splitlines()
+    mip = [i for i, l in enumerate(tree) if "MapInPandas" in l and "(" in l]
+    semi = [i for i, l in enumerate(tree) if "LeftSemi" in l]
+    assert semi, "no left-semi keeper join in the plan"
+    assert min(mip) < min(semi) < max(mip), (
+        "keeper semi-join is not between the inference stage and the scan"
+    )

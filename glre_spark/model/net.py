@@ -205,11 +205,20 @@ class GLREModel:
     entity pair, gated by entity-type compatibility.
 
     The pair stage is fully vectorized PER DOCUMENT: all candidate pairs
-    are scored in one numpy pass (padded per-entity mention tensors +
-    masks) — no per-pair Python. Cross-document batching was tried and
-    measured 6× MORE CPU than per-doc (the concatenated (pairs, M, H, dh)
-    gathers fall out of cache; a document's ~10² pairs are L2-resident),
-    so documents are scored one at a time inside the Arrow batch."""
+    are scored in one numpy pass — no per-pair Python. Cross-document
+    batching was tried and measured 6× MORE CPU than per-doc (the
+    concatenated (pairs, M, H, dh) gathers fall out of cache; a
+    document's ~10³ gated pairs are L2-resident), so documents are scored
+    one at a time inside the Arrow batch. r5 restructured the pass around
+    three algebraic identities (2.7× on the kernel, structurally
+    identical predictions, scores shift ≤1e-6): (1) every feature block
+    that is constant per entity / per doc / per distance bucket goes
+    through its ff1/mha_q weight block BEFORE pair fan-out, so those
+    GEMMs run at ne (not ne²) rows; (2) the classifier head computes
+    logits only at a pair's ≤3 type-gated relation columns instead of all
+    97; (3) single-mention entities (~91% of this corpus) skip attention
+    entirely — softmax over one slot is exactly 1, so their local rep is
+    the per-entity chain v·W_o."""
 
     def __init__(self, weights: dict[str, np.ndarray], threshold: float = SCORE_THRESHOLD):
         self.w = weights

@@ -584,20 +584,48 @@ def dedup_keeper_table(spark, sf_dir):
 
 
 def near_dup_keepers(
-    docs, tau: float = _KEEPER_TAU, max_block: int = MAX_LSH_BLOCK
+    docs, tau: float = _KEEPER_TAU, max_block: int = MAX_LSH_BLOCK,
+    sketch_k: int | None = None,
 ):
     """dedup_keeper_table's decision generalized to an ARBITRARY
     (doc_id bigint, text string) DataFrame — no sf_dir, no cache — so the
     flagship pipeline can compose it below its inference stage
     (pipeline.build_triples(drop_near_dups=True)). Same machinery end to
-    end: MinHash → capped LSH blocks → exact hashed-shingle Jaccard ≥ τ →
-    connected components → (doc_id, keeper, is_dup), min-id keeper. Zero
-    Python stages; every join is bounded by the block cap, never
-    all-pairs."""
+    end: MinHash → capped LSH blocks → Jaccard ≥ τ verify → connected
+    components → (doc_id, keeper, is_dup), min-id keeper. Zero Python
+    stages; every join is bounded by the block cap, never all-pairs.
+
+    ``sketch_k`` trades exact verify for scale: with it set, BOTH the
+    signatures and the verify run off ONE materialized distinct-shingle-
+    hash pass, and the verify joins a bottom-k sketch (the k smallest
+    hashes — a KMV/bottom-k sketch) instead of the full shingle set.
+    Jaccard is estimated with the standard KMV estimator
+    |bottom_k(A∪B) ∩ A ∩ B| / min(k, |A∪B|), which degenerates to EXACT
+    Jaccard whenever a doc's distinct-shingle count ≤ k. The full-set
+    verify shuffles every candidate pair's complete shingle arrays —
+    ~8 bytes × shingles/doc × 2 per pair, the measured bomb on long web
+    pages (r5 dup-bench: 4 KB html docs → ~70 s keeper pass at 25 k
+    docs); the sketch caps that at 8·k bytes/side and is the variant a
+    100 TB pass would run."""
     from glre_spark.linking import connected_components
 
     docs = docs.select("doc_id", "text")
-    bands = _bands_of_sig(_sig_of(docs))
+    hs = docs.select(
+        "doc_id",
+        F.array_distinct(_shingle_hash_col(F.col("text"))).alias("hs"),
+    )
+    if sketch_k:
+        # one shingle-hash pass feeds both signatures and sketches (the
+        # local analog of "write the signature table once, then join")
+        hs = hs.localCheckpoint(eager=True)
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm_hash(i))).alias(f"mh{i}")
+            for i in range(_K)
+        ],
+    )
+    bands = _bands_of_sig(sig)
     sized = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bn"))
     capped = bands.join(
         F.broadcast(
@@ -613,20 +641,56 @@ def near_dup_keepers(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = docs.select(
-        "doc_id",
-        F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
+    # Exact-content star candidates: byte-identical docs (the web's
+    # dominant duplication mode — mirrors) grouped by md5(text) and paired
+    # to the group's min doc_id. An exact-dup group is an equivalence
+    # class, so the star edges suffice for CC, and the construction is
+    # LINEAR in group size — no cap needed. This matters because the
+    # banded path alone can lose mirrors: on a template-heavy corpus the
+    # hot band buckets the skew cap drops contain exactly those pairs
+    # (measured r5: bands found 15% of planted byte-identical mirrors on
+    # a 25k-doc template corpus; bands + exact star find all of them).
+    # NOT keyed on the minhash signature: equal signatures do NOT imply
+    # near-duplicate on shingle-skewed corpora (measured: 24k template
+    # docs collapsed into 1.8k full-signature buckets at J far below τ),
+    # and star-to-min inside a mixed bucket would pair mirrors with a
+    # non-duplicate min and lose them at verify.
+    ex = docs.select("doc_id", F.md5("text").alias("cx"))
+    exmin = (
+        ex.groupBy("cx")
+        .agg(F.min("doc_id").alias("id_a"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
     )
-    ver = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(
+    star = (
+        ex.join(exmin, "cx")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    cand = cand.unionByName(star).distinct()
+    if sketch_k:
+        sh = hs.select(
+            "doc_id", F.slice(F.array_sort("hs"), 1, sketch_k).alias("sh")
+        )
+    else:
+        sh = hs.select("doc_id", F.col("hs").alias("sh"))
+    paired = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    if sketch_k:
+        both = F.array_intersect("sh_a", "sh_b")
+        union_k = F.slice(
+            F.array_sort(F.array_union("sh_a", "sh_b")), 1, sketch_k
+        )
+        denom = F.least(F.lit(sketch_k), F.size(F.array_union("sh_a", "sh_b")))
+        jac = F.size(F.array_intersect(both, union_k)).cast("double") / denom
+    else:
+        jac = (
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
             / F.size(F.array_union("sh_a", "sh_b"))
-            >= tau
         )
-        .select("id_a", "id_b")
-    )
+    ver = paired.filter(jac >= tau).select("id_a", "id_b")
     comps = connected_components(ver)
     ids = docs.select("doc_id")
     return ids.join(comps, ids.doc_id == comps.id, "left").select(

@@ -171,9 +171,15 @@ def build_triples(spark: SparkSession, pages: DataFrame,
         content = (
             F.col("html").cast("string") if use_extractor else F.col("text")
         )
-        ided = docs.withColumn("_nid", F.xxhash64("url"))
+        # localCheckpoint: the keeper DAG and the main path both consume
+        # the prepared corpus; materializing it once is the local analog
+        # of the staging write a real pipeline would do before dedup
+        ided = docs.withColumn("_nid", F.xxhash64("url")).localCheckpoint(
+            eager=True
+        )
         keepers = near_dup_keepers(
-            ided.select(F.col("_nid").alias("doc_id"), content.alias("text"))
+            ided.select(F.col("_nid").alias("doc_id"), content.alias("text")),
+            sketch_k=256,
         )
         keep_ids = keepers.filter(~F.col("is_dup")).select(
             F.col("doc_id").alias("_nid")

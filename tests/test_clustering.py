@@ -54,3 +54,39 @@ def test_clustering_deterministic(spark):
     a = sorted(map(tuple, cluster_names(names, weight_col="n").collect()))
     b = sorted(map(tuple, cluster_names(names, weight_col="n").collect()))
     assert a == b
+
+
+def test_near_dup_keepers_sketch_matches_exact(spark):
+    """The bottom-256 KMV sketch verify (the pipeline's scale path) must
+    reach the same keeper decision as the exact-Jaccard verify on a
+    corpus containing byte-identical mirrors AND genuine near-dups
+    (one-sentence edits). KMV degenerates to exact when a doc's distinct
+    shingle count <= k, and is an unbiased estimator above it (r5)."""
+    from pyspark.sql import functions as F
+
+    from glre_spark.datagen import pages_df
+    from glre_spark.operators.kgops import near_dup_keepers
+
+    base = pages_df(spark, 60, partitions=2).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    mirror = base.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" One extra trailing sentence .")).alias("text"),
+    )
+    docs = base.unionByName(mirror).unionByName(near).localCheckpoint(eager=True)
+
+    exact = {
+        r["doc_id"]: (r["keeper"], r["is_dup"])
+        for r in near_dup_keepers(docs).collect()
+    }
+    sketch = {
+        r["doc_id"]: (r["keeper"], r["is_dup"])
+        for r in near_dup_keepers(docs, sketch_k=256).collect()
+    }
+    assert exact == sketch
+    n_dups = sum(1 for _, d in exact.values() if d)
+    assert n_dups >= 5, f"expected at least the 5 mirrors flagged, got {n_dups}"

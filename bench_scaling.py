@@ -40,11 +40,14 @@ REPO = pathlib.Path(__file__).parent
 PAGES_PATH = "/dev/shm/glre_bench_pages"
 # Bump when a job's MEASURED CODE changes semantics/shape, so cached bests
 # from the old code can't win the min-merge and mask (or fake) a change.
-# rev 2 (r5): relational switched to the xxhash64-slimmed TF exchange.
-# rev 3 (r5): dropped the vocab min(tok) re-attach (its re-explode pass
-# cost 2× the TF stage's CPU) and narrowed the url dict to a broadcast
-# semi-filtered lookup; token ids stay hashed in the output.
-JOB_REVS = {"relational": 3}
+# relational rev 2 (r5): switched to the xxhash64-slimmed TF exchange.
+# relational rev 3 (r5): dropped the vocab min(tok) re-attach (a string
+# agg that collapsed asymmetrically at 4N) and narrowed the url dict to a
+# broadcast semi-filtered lookup; token ids stay hashed in the output.
+# flagship rev 2 (r5): the GLRE pair-stage kernel rewrite (net.py — 2.7×
+# less Python CPU) changes the job's stage weighting, so pre-r5 bests
+# must not min-merge with post-r5 runs.
+JOB_REVS = {"relational": 3, "flagship": 2}
 
 REL_PAGES_PATH = "/dev/shm/glre_bench_pages_rel"  # 8× docs: the relational
 # job is far cheaper per doc than inference (and r5's fixed-width
@@ -257,7 +260,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--numpy-ceiling-only", action="store_true",
                     help="measure the numpy-kernel ceiling and append to BENCH/BASELINE.md")
-    ap.add_argument("--n-docs", type=int, default=25_000)
+    # 50k since r5: the kernel rewrite made the flagship ~1.8× faster, so
+    # at 25k docs the 4N wall fell to ~7.5 s where ~1.5 s of per-run fixed
+    # overhead (session/stage floor) weighs 20% and caps measured
+    # efficiency — the same Amdahl adjustment the relational corpus got.
+    ap.add_argument("--n-docs", type=int, default=50_000)
     # N=4 default: hypervisor overcommit above ~16-20 vCPUs makes 8→32
     # conflate host contention with job scaling; 4→16 is the honest
     # N-vs-4N this hardware can express (see hw_ceiling).
@@ -287,7 +294,10 @@ def main() -> int:
     cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
 
     _sub(["--materialize", PAGES_PATH, "--n-docs", str(args.n_docs)])
-    n_rel = args.n_docs * 8
+    n_rel = args.n_docs * 4  # 200k at the 50k default — the relational
+    # job needs the bigger corpus for the same Amdahl reason (see
+    # REL_PAGES_PATH note); ×4 of the r5 default keeps it at the size its
+    # cached per-level bests were measured at
     _sub(["--materialize", REL_PAGES_PATH, "--n-docs", str(n_rel)])
 
     hw = hw_ceiling(args.n)

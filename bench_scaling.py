@@ -168,6 +168,28 @@ end of the burn range.
     return 0
 
 
+def _headings(md: str) -> list[str]:
+    return [ln.strip() for ln in md.splitlines() if ln.startswith("## ")]
+
+
+def _preserve_extra_sections(new_md: str, old_md: str) -> str:
+    """Carry over every `## `-headed section of old_md whose heading the
+    regenerated new_md does not itself produce (the marker-owned sections
+    written by append_numpy_ceiling / memory_headroom_report /
+    dup_bench_report, and anything future tooling appends). Without this,
+    a full `main()` rewrite silently deletes them (VERDICT r5 wrong #1)."""
+    new_heads = set(_headings(new_md))
+    out = new_md if new_md.endswith("\n") else new_md + "\n"
+    for head in _headings(old_md):
+        if head in new_heads:
+            continue
+        start = old_md.index(head)
+        nxt = old_md.find("\n## ", start + len(head))
+        section = old_md[start:] if nxt == -1 else old_md[start : nxt + 1]
+        out += "\n" + section
+    return out
+
+
 def _replace_section(marker: str, section: str) -> None:
     """Replace (or append) a marker-headed section of BENCH/BASELINE.md,
     preserving everything else — the append_numpy_ceiling pattern."""
@@ -281,6 +303,12 @@ def main() -> int:
     ap.add_argument("--dup-bench-only", action="store_true",
                     help="run the duplicate-heavy drop_near_dups A/B and "
                          "update its BENCH/BASELINE.md section")
+    # Own argument (ADVICE r5): the A/B used to piggyback on --n-docs with
+    # a guard keyed on the OLD 25k default, so moving the default to 50k
+    # silently doubled a default dup-bench invocation's corpus.
+    ap.add_argument("--dup-docs", type=int, default=20_000,
+                    help="original-doc count for --dup-bench-only "
+                         "(corpus = 1.5x this after mirroring)")
     args = ap.parse_args()
 
     if args.numpy_ceiling_only:
@@ -288,22 +316,25 @@ def main() -> int:
     if args.memory_headroom_only:
         return memory_headroom_report(args.n_docs)
     if args.dup_bench_only:
-        return dup_bench_report(20_000 if args.n_docs == 25_000 else args.n_docs)
+        return dup_bench_report(args.dup_docs)
 
     cache_path = REPO / "BENCH" / "results.json"
     cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
 
-    _sub(["--materialize", PAGES_PATH, "--n-docs", str(args.n_docs)])
     n_rel = args.n_docs * 4  # 200k at the 50k default — the relational
     # job needs the bigger corpus for the same Amdahl reason (see
     # REL_PAGES_PATH note); ×4 of the r5 default keeps it at the size its
     # cached per-level bests were measured at
-    _sub(["--materialize", REL_PAGES_PATH, "--n-docs", str(n_rel)])
+    jobs = {"flagship": args.n_docs, "relational": n_rel, "sigscan": args.n_docs}
+    todo = [j.strip() for j in args.jobs.split(",") if j.strip()]
+    # only materialize the corpora the re-run jobs will actually read
+    if {"flagship", "sigscan"} & set(todo):
+        _sub(["--materialize", PAGES_PATH, "--n-docs", str(args.n_docs)])
+    if "relational" in todo:
+        _sub(["--materialize", REL_PAGES_PATH, "--n-docs", str(n_rel)])
 
     hw = hw_ceiling(args.n)
 
-    jobs = {"flagship": args.n_docs, "relational": n_rel, "sigscan": args.n_docs}
-    todo = [j.strip() for j in args.jobs.split(",") if j.strip()]
     results: dict[str, dict] = {}
     for job, nd in jobs.items():
         # min across THIS session's interleaved rounds AND any cached prior
@@ -548,7 +579,10 @@ the host, matching the evidence standard the flagship met in r3.
 """
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(md)
+    md_path = bench_dir / "BASELINE.md"
+    if md_path.exists():
+        md = _preserve_extra_sections(md, md_path.read_text())
+    md_path.write_text(md)
     print(json.dumps({
         "hw_ceiling": round(hw, 3),
         "efficiency": f["eff"],

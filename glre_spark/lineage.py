@@ -165,6 +165,37 @@ def _process_groups(
     )
 
 
+def _heal_torn_writes(base: str) -> list[str]:
+    """Startup sweep for the crash window between the data write and the
+    manifest append (manifest-last order): a job that died mid-write can
+    leave committer staging dirs — ``_temporary`` inside the target, or
+    ``.spark-staging-*`` siblings from dynamic partition overwrite —
+    under ``triples``/``_manifest``. Readers already ignore
+    underscore/dot-prefixed paths, so these are never a CORRECTNESS
+    hazard (the uncommitted groups simply re-run); they are leaked disk
+    that accumulates across crash/resume cycles and, at scale, slows
+    file listing. Swept here because resume is the documented
+    single-writer moment — nothing else may be appending. Returns the
+    removed paths (logged by tests). Local-filesystem paths only; with a
+    real Iceberg/Delta catalog the commit is transactional and orphan
+    cleanup is the table service's job (VERDICT r5 next-round #7)."""
+    import shutil
+
+    removed: list[str] = []
+    for target in (os.path.join(base, "triples"), manifest_path(base)):
+        if not os.path.isdir(target):
+            continue
+        for name in os.listdir(target):
+            if name == "_temporary" or name.startswith(".spark-staging"):
+                full = os.path.join(target, name)
+                try:
+                    shutil.rmtree(full)
+                except FileNotFoundError:
+                    continue  # racing heal already removed it
+                removed.append(full)
+    return removed
+
+
 def run_with_checkpoints(
     spark: SparkSession,
     pages: DataFrame,
@@ -180,6 +211,7 @@ def run_with_checkpoints(
     from glre_spark.pipeline import url_bucket
 
     run_id = run_id or uuid.uuid4().hex[:12]
+    _heal_torn_writes(base)
     pages_g = pages.withColumn(
         "bucket_group", F.pmod(url_bucket(F.col("url")), F.lit(n_groups)).cast("int")
     )

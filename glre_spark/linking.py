@@ -145,10 +145,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     longer than max_iter. Driver-side fixpoint loop; localCheckpoint
     truncates lineage per iteration (SURVEY.md §4.3).
 
-    Convergence probe: labels are monotonically non-increasing, so the
-    label sum is strictly decreasing until fixpoint. Summed as
-    decimal(38,0) — ids may be 64-bit hashes (cluster_names), whose bigint
-    sum could overflow; decimal38 cannot at any realistic node count."""
+    Convergence probe: min-propagation is monotone per node, so a
+    fixpoint exists; we stop when the label assignment stops changing,
+    detected as an unchanged sum of xxhash64(id, component) — works for
+    ANY id type (the keeper path uses raw url strings as ids since r6;
+    the old sum-of-labels probe cast components to decimal and threw
+    under ANSI on strings). A pre-fixpoint false stop needs the
+    per-round hash sums to collide — 2^-64-ish per round, negligible.
+    Summed as decimal(38,0): a bigint sum of 64-bit hashes could
+    overflow under ANSI; decimal38 cannot at any realistic node count."""
     import warnings
 
     sym = edges.select(
@@ -179,7 +184,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)  # truncate lineage, one execution
         )
         s = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
+            F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
         ).collect()[0][0]
         if s == prev_sum:
             converged = True

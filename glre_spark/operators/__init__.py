@@ -77,51 +77,97 @@ def all_oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Driver-window priority. The driver's CORRECTNESS snapshot takes the first
-# 50 ``queries()`` entries in registry order. Round-5 rotation (VERDICT r4
-# next-round #5): ops whose code changed in r5 register FIRST so the driver
-# re-proves them (the net.py kernel rewrite behind every glre_* op, the
-# kgops _sig_of/_bands_of refactor behind the whole minhash/LSH/dedup
-# family, the pipeline drop_near_dups plumbing behind the sinks, the
-# streaming module's write-ordering/heal changes) plus the two new
-# streaming entries and the two newly-twinned ops; then the ops whose
-# latest driver evidence is oldest (mm_*/set/link/resume, r2); then the
-# r3-proven windows / scalar-fn / text_* / ann families. Everything
-# r4-proven and untouched slides to the tail. Names absent from this list
-# keep their module-import order after it.
+# 50 ``queries()`` entries in registry order. Round-6 rotation (VERDICT r5
+# next-round #5): ops new or code/oracle-touched in r6 register FIRST (the
+# sketch keeper + the MATERIALIZED-hinted oracle family, the
+# tolerance-twinned approx-distinct, scan_docred_json's relocated corpus
+# path, the streaming/lineage/pipeline modules' heal+guard changes); then
+# the ops whose latest driver evidence is oldest (the r3-proven scalar-fn
+# / text / UDTF set); then the r4-proven scan/filter/join/agg/str
+# families that r5's window pushed out. Everything r5-proven and
+# untouched slides to the tail. Names absent from this list keep their
+# module-import order after it.
 _PRIORITY: list[str] = [
-    # -- new in r5 --
-    "text_pii_redact",         # PII scrub: inject→count→redact→md5 twin
-    "decontaminate_ngrams",    # benchmark word-8-gram overlap flags
-    "dedup_events_stream",     # streaming exact dedup, full twin
-    "compact_stream_triples",  # stream log lifecycle (build→compact→read)
-    "scan_docred_json",        # twin added (deterministic nested-JSON file)
-    "mm_image_ahash",          # twin added (integer-exact block-mean hash)
-    # -- changed in r5: re-prove (16) --
-    "glre_infer_triples",      # net.py pair-stage rewrite (2.7× kernel)
-    "glre_extract_text",
-    "glre_cluster_entities",
-    "glre_entity_table",
-    "minhash_sig",             # kgops _sig_of/_bands_of refactor
+    # -- new or touched in r6 (18) --
+    "dedup_keeper_sketch",     # NEW: KMV bottom-k keeper, exact twin
+    "agg_approx_distinct",     # NEW TWIN: tolerance check inside the query
+    "minhash_sig",             # oracle CTEs now MATERIALIZED
     "lsh_band",
     "lsh_candidates",
     "dedup_ngram_jaccard",
     "dedup_keeper_table",
-    "udf_grouped_map",         # shares the candidate CTE path
-    "sink_triples",            # pipeline drop_near_dups plumbing
+    "scan_docred_json",        # corpus path moved /tmp → repo .cache
+    "dedup_events_stream",     # streaming module touched (warc guard, heal)
+    "compact_stream_triples",
+    "ckpt_manifest",           # lineage torn-write heal
+    "resume_filter",
+    "sink_triples",            # pipeline keeper-id change (url keys)
     "sink_entities",
     "sink_metrics",
-    "ckpt_manifest",
-    "stateful_user_totals",    # streaming module touched
-    "simhash_dedup",           # neighbor of the refactored shingle helpers
-    # -- oldest driver evidence (r2) (7) --
+    "glre_infer_triples",      # pipeline module touched; kernel-claim re-proof
+    "glre_extract_text",
+    "udf_grouped_map",         # shares the candidate CTE path
+    # -- oldest driver evidence (r3) (7) --
+    "json_fns",
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "udf_grouped_agg",
+    "udtf_sent_split",
+    # -- r4-proven, pushed out of the r5 window (fill to 50) --
+    "scan_parquet",
+    "scan_pages",
+    "project_select",
+    "filter_lang",
+    "filter_pred",
+    "filter_len",
+    "join_inner_eq",
+    "join_broadcast",
+    "join_salted_skew",
+    "join_left_semi",
+    "join_left_anti",
+    "join_outer",
+    "join_theta_range",
+    "join_asof",
+    "join_self_block",
+    "join_cross_small",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_collect_list",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_distinct_rows",
+    "str_normalize",
+    "str_split_tokens",
+    "str_shingle",
+    # -- just past the window: next round's rotation front --
+    "str_concat_fmt",
+    "hash_fns",
+    "sort_global",
+    "limit_topn",
+    "set_union",
+    "sample_frac",
+    "sort_within_part",
+    "repartition_urlhash",
+    "dedup_exact",
+    "split_holdout",
+    "udf_scalar_pandas",
+    "udf_iter_pandas",
+    # -- tail: r5-proven, unchanged since their green rows --
+    "glre_cluster_entities",
+    "glre_entity_table",
+    "stateful_user_totals",
+    "simhash_dedup",
+    "text_pii_redact",
+    "decontaminate_ngrams",
+    "mm_image_ahash",
     "mm_image_meta",
     "mm_frame_sample",
     "mm_audio_features",
     "set_intersect",
     "set_except",
     "link_alias_broadcast",
-    "resume_filter",
-    # -- r3-proven families (fill the window to 50) --
     "cc_label_prop",
     "canonicalize",
     "dedup_triples",
@@ -143,52 +189,6 @@ _PRIORITY: list[str] = [
     "arr_explode",
     "arr_fns",
     "map_fns",
-    "json_fns",
-    "text_token_count",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "udf_grouped_agg",
-    "udtf_sent_split",
-    "sort_within_part",
-    "sample_frac",
-    "repartition_urlhash",
-    # -- tail: r4-proven, unchanged since their green rows --
-    "split_holdout",
-    "udf_scalar_pandas",
-    "udf_iter_pandas",
-    "dedup_exact",
-    "limit_topn",
-    "str_normalize",
-    "str_split_tokens",
-    "str_shingle",
-    "str_concat_fmt",
-    "hash_fns",
-    "scan_parquet",
-    "scan_pages",
-    "project_select",
-    "filter_lang",
-    "filter_pred",
-    "filter_len",
-    "join_inner_eq",
-    "join_broadcast",
-    "join_salted_skew",
-    "join_left_semi",
-    "join_left_anti",
-    "join_outer",
-    "join_theta_range",
-    "join_asof",
-    "join_self_block",
-    "join_cross_small",
-    "agg_groupby",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_collect_list",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_distinct_rows",
-    "sort_global",
-    "set_union",
 ]
 
 

@@ -56,16 +56,46 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@op("agg_approx_distinct", None)  # estimator values are engine-specific → rows-only
+_APPROX_BOUND = 0.1  # ≥5σ for rsd=0.02 HLL++ — and comfortably above
+                     # DuckDB's default-precision HLL error too
+
+
+@op(
+    "agg_approx_distinct",
+    f"""SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+                <= {_APPROX_BOUND} * COUNT(DISTINCT l_orderkey) AS orders_within_rsd,
+              abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                <= {_APPROX_BOUND} * COUNT(DISTINCT l_partkey) AS parts_within_rsd
+       FROM lineitem""",
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct — the 10^12-scale cardinality path (HLL++;
-    exact distinct is a shuffle bomb at north-rule scale)."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        )
+    exact distinct is a shuffle bomb at north-rule scale).
+
+    Twin design (r6; was rows-only): the ESTIMATES are engine-specific
+    (Spark HLL++ vs DuckDB HLL), so they can never hash-match — instead
+    each engine referees its own estimator against its own exact count
+    and the hashed surface is (exact cardinalities + a within-bound
+    boolean per column). That pushes the tolerance check INSIDE the
+    query, where the driver's exact row-hash gate can see it (VERDICT r5
+    next-round #8). The exact counts exist only to referee at test
+    scale; the production path is the estimator alone."""
+    li = load(spark, sf_dir, "lineitem")
+    exact_o = F.countDistinct("l_orderkey").cast("bigint")
+    exact_p = F.countDistinct("l_partkey").cast("bigint")
+    appr_o = F.approx_count_distinct("l_orderkey", 0.02)
+    appr_p = F.approx_count_distinct("l_partkey", 0.02)
+    return li.agg(
+        exact_o.alias("exact_orders"),
+        exact_p.alias("exact_parts"),
+        (F.abs(appr_o - exact_o) <= F.lit(_APPROX_BOUND) * exact_o).alias(
+            "orders_within_rsd"
+        ),
+        (F.abs(appr_p - exact_p) <= F.lit(_APPROX_BOUND) * exact_p).alias(
+            "parts_within_rsd"
+        ),
     )
 
 

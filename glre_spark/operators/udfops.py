@@ -100,8 +100,17 @@ def udf_grouped_agg(spark, sf_dir):
 # the nested-ingest path itself (schema projection + label flattening)
 # rather than re-deriving model predictions (SQL can't). Versioned name:
 # bump if the rendered content ever changes, so a stale file from an
-# older code revision can't poison either side.
-_DOCRED_PATH = "/tmp/glre_docred_corpus_v1.json"
+# older code revision can't poison either side. Under the REPO's own
+# cache dir, not world-writable /tmp: a fixed /tmp name trusted on
+# existence could be pre-planted/symlinked by any local user and would
+# feed BOTH engines, making the twin check blind to the poisoning
+# (ADVICE r5).
+import os as _os
+
+_DOCRED_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".cache", "glre_docred_corpus_v1.json",
+)
 
 
 def _materialize_docred(path: str = _DOCRED_PATH) -> str:
@@ -112,6 +121,7 @@ def _materialize_docred(path: str = _DOCRED_PATH) -> str:
 
     if os.path.exists(path):
         return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     from glre_spark.datagen import gen_pages
     from glre_spark.model import GLREModel, build_weights
     from glre_spark.model.net import infer_doc

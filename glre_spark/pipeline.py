@@ -150,12 +150,14 @@ def build_triples(spark: SparkSession, pages: DataFrame,
     a training-data pipeline spends its dedup pass to save its model
     pass. The decision shingles the page's stored content (html when
     ``use_extractor``, else text) so it adds zero extraction stages.
-    Stream-parity note: the streaming path deliberately leaves this OFF —
-    a near-dup decision inside foreachBatch would be batch-LOCAL (it
-    can't see near-dups that arrived in earlier micro-batches), so
-    stream ≡ batch exactness (test_streaming) holds only for the
-    recrawl/as-of dedup, not for cross-batch near-dup dropping; at scale
-    the keeper table is a periodic batch job joined against the log
+    Stream-parity note: a near-dup decision inside foreachBatch is
+    batch-LOCAL (it can't see near-dups that arrived in earlier
+    micro-batches), so stream ≡ batch exactness (test_streaming) holds
+    only for the recrawl/as-of dedup, not for cross-batch near-dup
+    dropping. streaming.stream_build_triples therefore REFUSES
+    drop_near_dups=True and offers the explicit 'batch_local' opt-in
+    (within-batch-only semantics, pinned by test); at scale the exact
+    keeper table is a periodic batch job joined against the log
     instead."""
     from glre_spark.linking import apply_name_clusters, cluster_names
 
@@ -173,18 +175,23 @@ def build_triples(spark: SparkSession, pages: DataFrame,
         )
         # localCheckpoint: the keeper DAG and the main path both consume
         # the prepared corpus; materializing it once is the local analog
-        # of the staging write a real pipeline would do before dedup
-        ided = docs.withColumn("_nid", F.xxhash64("url")).localCheckpoint(
-            eager=True
-        )
+        # of the staging write a real pipeline would do before dedup.
+        # The keeper id is the URL ITSELF, not xxhash64(url): at 10^12
+        # docs a 64-bit id expects ~n²/2^65 ≈ tens of thousands of
+        # colliding url pairs, each silently coupling two distinct docs'
+        # keep/drop fate (ADVICE r5). The url is unique by construction
+        # here (latest_per_url collapsed recrawls), and the extra key
+        # bytes ride shuffles whose payload (bottom-256 sketches, band
+        # hashes) dominates; a real deployment could dictionary-encode.
+        ided = docs.localCheckpoint(eager=True)
         keepers = near_dup_keepers(
-            ided.select(F.col("_nid").alias("doc_id"), content.alias("text")),
+            ided.select(F.col("url").alias("doc_id"), content.alias("text")),
             sketch_k=256,
         )
         keep_ids = keepers.filter(~F.col("is_dup")).select(
-            F.col("doc_id").alias("_nid")
+            F.col("doc_id").alias("url")
         )
-        docs = ided.join(keep_ids, "_nid", "left_semi").drop("_nid")
+        docs = ided.join(keep_ids, "url", "left_semi")
     preds = infer_stage_agg(
         docs, weights_bc=broadcast_weights(spark), extract_html=use_extractor,
         group_col=group_col, group_type=group_type,

@@ -240,6 +240,7 @@ def _crawl_key():
 def stream_build_triples(
     pages_stream: DataFrame, target: str, timeout_s: int = 600,
     validate_warc: bool = False,
+    drop_near_dups: bool | str = False,
 ) -> None:
     """Incremental KG construction (the crawl-as-it-arrives shape): each
     micro-batch of pages runs the SAME batch pipeline (pipeline.
@@ -286,6 +287,22 @@ def stream_build_triples(
     merging both versions' triples. Off by default — it costs one extra
     agg pass over each micro-batch.
 
+    ``drop_near_dups`` is BATCH-ONLY in its exact form: the keeper
+    decision needs the whole corpus, but foreachBatch sees one
+    micro-batch, so a streaming keeper can never drop a near-dup of a
+    page that arrived in an EARLIER micro-batch — stream ≡ batch does
+    NOT hold for it the way it does for recrawls. Passing ``True``
+    therefore raises (loud, not silently approximate). The explicit
+    opt-in ``"batch_local"`` runs pipeline.build_triples(
+    drop_near_dups=True) per micro-batch with exactly these guaranteed
+    semantics (pinned in tests/test_streaming.py): near-dups arriving
+    WITHIN one micro-batch are deduped; near-dups split ACROSS
+    micro-batches are all kept (the downstream exact (subj,pred,obj)
+    dedup still collapses their identical triples — what batch_local
+    saves is the in-batch inference compute, not log rows). At scale the
+    exact decision is a periodic batch keeper job joined against the
+    log, not a streaming operator.
+
     Write ordering is deliberate: triples append BEFORE the registry
     append. A crash between the two leaves triple rows whose crawl_key no
     registry entry elects — readers drop them (the batch reads as
@@ -295,17 +312,40 @@ def stream_build_triples(
     that url's triples vanish until (if ever) the batch is replayed."""
     from glre_spark.pipeline import build_triples, eligible_pages
 
+    if drop_near_dups is True:
+        raise ValueError(
+            "drop_near_dups=True is batch-only: a streaming keeper cannot "
+            "see near-dups from earlier micro-batches, so stream ≡ batch "
+            "would silently break. Pass drop_near_dups='batch_local' for "
+            "the documented within-batch-only dedup, or run the exact "
+            "keeper as a periodic batch job over the compacted log."
+        )
+    if drop_near_dups not in (False, "batch_local"):
+        raise ValueError(f"drop_near_dups: expected False or 'batch_local', got {drop_near_dups!r}")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         keyed = batch_df.withColumn("crawl_key", _crawl_key())
         if validate_warc:
+            # Canonical body fingerprint: hash the (html, text) TUPLE with
+            # per-field null markers, not coalesce(html, text) — coalesce
+            # compares a NULL-html row by its text against another row's
+            # html bytes (and calls an all-NULL body equal to anything
+            # coalescing to the same value), letting ambiguous versions
+            # slip the guard (ADVICE r5). \x01=NULL, \x02+bytes=present,
+            # \x00 separator: injective over the tuple.
+            body = F.concat(
+                F.when(F.col("html").isNull(), F.lit(b"\x01")).otherwise(
+                    F.concat(F.lit(b"\x02"), F.col("html"))
+                ),
+                F.lit(b"\x00"),
+                F.when(F.col("text").isNull(), F.lit(b"\x01")).otherwise(
+                    F.concat(F.lit(b"\x02"), F.encode("text", "UTF-8"))
+                ),
+            )
             bad = (
                 keyed.groupBy("crawl_key")
-                .agg(
-                    F.count_distinct(
-                        F.md5(F.coalesce("html", F.col("text").cast("binary")))
-                    ).alias("n_bodies")
-                )
+                .agg(F.count_distinct(F.md5(body)).alias("n_bodies"))
                 .filter(F.col("n_bodies") > 1)
                 .limit(3)
                 .collect()
@@ -318,7 +358,8 @@ def stream_build_triples(
                     "refusing to merge ambiguous page versions"
                 )
         triples = build_triples(
-            spark, keyed, group_col="crawl_key", group_type="string"
+            spark, keyed, group_col="crawl_key", group_type="string",
+            drop_near_dups=(drop_near_dups == "batch_local"),
         )
         (
             triples.withColumn("batch_id", F.lit(int(batch_id)))
@@ -358,10 +399,20 @@ def _heal_compact_swap(path: str) -> None:
 
     bak = path + "_compact_bak"
     if os.path.exists(bak):
-        if not os.path.exists(path):
-            os.rename(bak, path)
-        else:
-            shutil.rmtree(bak)
+        # Concurrent readers all run this probe with no mutual exclusion
+        # (only the compaction WRITER is documented single-instance), so
+        # two readers can race on the same heal: the loser's rename/rmtree
+        # raises FileNotFoundError. A lost race means the other reader
+        # already healed — re-check state and treat it as done rather than
+        # propagating (ADVICE r5).
+        try:
+            if not os.path.exists(path):
+                os.rename(bak, path)
+            else:
+                shutil.rmtree(bak)
+        except FileNotFoundError:
+            if not os.path.exists(path) and os.path.exists(bak):
+                raise  # genuinely torn state the race story can't explain
 
 
 def _crawl_winners(spark: SparkSession, target: str) -> DataFrame:

@@ -67,8 +67,11 @@ def test_near_dup_keepers_sketch_matches_exact(spark):
     from glre_spark.datagen import pages_df
     from glre_spark.operators.kgops import near_dup_keepers
 
+    # id folds warc_ts: the corpus seeds RECRAWLS (ids 6/7, 16/17, …
+    # share a url), so xxhash64(url) alone duplicates — which the r6
+    # uniqueness guard now refuses
     base = pages_df(spark, 60, partitions=2).select(
-        F.xxhash64("url").alias("doc_id"), "text"
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
     )
     mirror = base.limit(5).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -90,3 +93,23 @@ def test_near_dup_keepers_sketch_matches_exact(spark):
     assert exact == sketch
     n_dups = sum(1 for _, d in exact.values() if d)
     assert n_dups >= 5, f"expected at least the 5 mirrors flagged, got {n_dups}"
+
+
+def test_near_dup_keepers_rejects_duplicate_doc_ids(spark):
+    """PRECONDITION guard (ADVICE r5): a duplicate doc_id fans out the
+    verify join and collapses the per-row keep/drop decision — the
+    default check must refuse the input loudly; check_ids=False skips
+    the probe for callers with an upstream key guarantee."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from glre_spark.operators.kgops import near_dup_keepers
+
+    docs = spark.createDataFrame(
+        [(1, "some text one"), (1, "other text entirely"), (2, "unrelated")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="doc_id not unique"):
+        near_dup_keepers(docs).collect()
+    # opt-out still computes (caller has asserted uniqueness elsewhere)
+    assert near_dup_keepers(docs, check_ids=False).count() > 0

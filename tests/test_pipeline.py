@@ -56,11 +56,13 @@ def test_prepare_pages_filters_lang(spark):
 
 def test_drop_near_dups_removes_duplicate_page(spark):
     """drop_near_dups=True must produce exactly the triples of the corpus
-    with non-keeper near-dups removed (keeper = min xxhash64(url), the
-    near_dup_keepers decision) — VERDICT r4 #3."""
+    with non-keeper near-dups removed (keeper = min URL — r6 keys the
+    decision on the raw url, after the as-of recrawl dedup, so recrawls
+    of one url share a single keeper row) — VERDICT r4 #3 / ADVICE r5."""
     from pyspark.sql import functions as F
 
     from glre_spark.operators.kgops import near_dup_keepers
+    from glre_spark.pipeline import eligible_pages, latest_per_url
 
     pages = pages_df(spark, 40, partitions=2)
     # a byte-identical copy of one page under a different url: a certain
@@ -74,12 +76,18 @@ def test_drop_near_dups_removes_duplicate_page(spark):
         spark, corpus, use_extractor=False, drop_near_dups=True
     ).collect()
 
-    ided = corpus.withColumn("_nid", F.xxhash64("url"))
+    # manual emulation of the pipeline's decision: keeper over each
+    # eligible url's LATEST crawl text, keyed by url
+    prepared = latest_per_url(eligible_pages(corpus))
     keep = near_dup_keepers(
-        ided.select(F.col("_nid").alias("doc_id"), "text")
-    ).filter(~F.col("is_dup")).select(F.col("doc_id").alias("_nid"))
-    manual = ided.join(keep, "_nid", "left_semi").drop("_nid")
-    assert manual.count() == 40, "exactly the mirror page should be dropped"
+        prepared.select(F.col("url").alias("doc_id"), "text")
+    ).filter(~F.col("is_dup")).select(F.col("doc_id").alias("url"))
+    manual = corpus.join(keep, "url", "left_semi")
+    n_dropped = corpus.count() - manual.count()
+    assert n_dropped >= 1, "the mirror page should be dropped"
+    assert prepared.count() - keep.count() == 1, (
+        "exactly one url (the mirror) should lose its keeper slot"
+    )
     want = build_triples(spark, manual, use_extractor=False).collect()
 
     key = lambda r: (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)  # noqa: E731

@@ -95,3 +95,41 @@ def test_empty_corpus_commits_zero_triple_groups(spark, tmp_path):
     m = read_manifest(spark, base).filter("status='done'").collect()
     assert len(m) == 2
     assert all(r.triples == 0 and r.input_rows == 0 for r in m)
+
+
+def test_torn_staging_dirs_healed_on_resume(spark, tmp_path):
+    """A crash mid-write can leave committer staging dirs (_temporary /
+    .spark-staging-*) under triples/ and _manifest/. Readers already
+    ignore them, but they are leaked disk that accumulates across
+    crash/resume cycles — run_with_checkpoints must sweep them at its
+    single-writer startup moment and still produce the exact result
+    (VERDICT r5 next-round #7)."""
+    import os
+
+    base = str(tmp_path / "ckpt")
+    pages = pages_df(spark, 20, partitions=2)
+
+    # first (crashed) attempt commits one group then dies
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoints(spark, pages, base, n_groups=2, fail_after=1)
+
+    # simulate the torn committer state the crash could have left
+    torn = [
+        os.path.join(base, "triples", "_temporary", "0"),
+        os.path.join(base, "triples", ".spark-staging-deadbeef"),
+        os.path.join(base, "_manifest", "_temporary"),
+    ]
+    for d in torn:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "junk"), "w") as f:
+            f.write("orphan")
+
+    run_with_checkpoints(spark, pages, base, n_groups=2)  # resume
+
+    for d in torn:
+        assert not os.path.exists(d), f"torn staging dir survived: {d}"
+    straight = str(tmp_path / "straight")
+    run_with_checkpoints(spark, pages, straight, n_groups=2)
+    got = {tuple(r) for r in read_triples(spark, base).collect()}
+    want = {tuple(r) for r in read_triples(spark, straight).collect()}
+    assert got == want and len(got) > 0

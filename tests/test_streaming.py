@@ -534,3 +534,170 @@ def test_compact_swap_crash_self_heals(spark, tmp_path):
     os.makedirs(os.path.join(target + "_compact_bak", "stale"))
     assert result() == want
     assert not os.path.exists(target + "_compact_bak"), "stale backup survived"
+
+
+def test_warc_guard_catches_null_body_representation_ambiguity(spark, tmp_path):
+    """The body fingerprint must hash the (html, text) TUPLE with null
+    markers (ADVICE r5): a crawl_key pairing a NULL-html row (old guard
+    compared it by text) with an html row whose BYTES equal that text
+    used to collapse to one body and slip the guard — these are
+    ambiguous versions and must be rejected."""
+    import os
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.streaming import read_pages_stream, stream_build_triples
+
+    src = str(tmp_path / "pages_src")
+    target = str(tmp_path / "stream_triples")
+    os.makedirs(src)
+    r = gen_page_row(6)
+    df = spark.createDataFrame(
+        [
+            (r["url"], r["warc_ts"], None, "abc", r["lang"]),
+            (r["url"], r["warc_ts"], b"abc", "something else", r["lang"]),
+        ],
+        PAGES_SCHEMA,
+    )
+    _stage_one_file(df, src, "b1.parquet")
+    with pytest.raises(Exception, match="WARC invariant"):
+        stream_build_triples(
+            read_pages_stream(spark, src), target, validate_warc=True
+        )
+
+
+def test_stream_drop_near_dups_true_is_refused(spark, tmp_path):
+    """drop_near_dups=True is batch-only (the keeper needs the whole
+    corpus; foreachBatch sees one micro-batch) — the streaming surface
+    must refuse it loudly, pointing at the 'batch_local' opt-in
+    (VERDICT r5 next-round #6)."""
+    import os
+
+    from glre_spark.streaming import read_pages_stream, stream_build_triples
+
+    src = str(tmp_path / "pages_src")
+    os.makedirs(src)
+    _write_page_file(spark, [6], src, "b1.parquet", None)
+    with pytest.raises(ValueError, match="batch_local"):
+        stream_build_triples(
+            read_pages_stream(spark, src), str(tmp_path / "t"),
+            drop_near_dups=True,
+        )
+    with pytest.raises(ValueError, match="batch_local"):
+        stream_build_triples(
+            read_pages_stream(spark, src), str(tmp_path / "t"),
+            drop_near_dups="typo_mode",
+        )
+
+
+def test_stream_drop_near_dups_batch_local_semantics(spark, tmp_path):
+    """Pins EXACTLY what drop_near_dups='batch_local' guarantees
+    (VERDICT r5 next-round #6): a byte-identical mirror arriving in the
+    SAME micro-batch as its original is dropped before inference (its
+    crawl_key leaves zero triple rows in the log), while a mirror whose
+    original arrived in an EARLIER micro-batch is KEPT (batch-local
+    blindness — the documented approximation; the downstream exact
+    (subj,pred,obj) dedup still collapses its identical triples at
+    read time)."""
+    import os
+    import time
+
+    from glre_spark.datagen import PAGES_SCHEMA, gen_page_row
+    from glre_spark.streaming import read_pages_stream, stream_build_triples
+
+    def mirror(row, tag):
+        return dict(row, url=row["url"] + "?" + tag)
+
+    # ids chosen so BOTH the originals and their re-urled mirrors yield
+    # predictions (doc 16-style zero-pred docs would make dropped vs
+    # kept indistinguishable in the log)
+    d6, d16 = gen_page_row(6), gen_page_row(11)
+    src = str(tmp_path / "pages_src")
+    os.makedirs(src)
+    now = time.time()
+
+    def stage(rows, name, mtime):
+        df = spark.createDataFrame(
+            [(x["url"], x["warc_ts"], x["html"], x["text"], x["lang"]) for x in rows],
+            PAGES_SCHEMA,
+        )
+        _stage_one_file(df, src, name, mtime)
+
+    # batch 1: doc6 + its in-batch mirror; doc16 (original for the
+    # cross-batch case)        batch 2: doc16's mirror, one batch later
+    stage([d6, mirror(d6, "m1"), d16], "b1.parquet", now - 120)
+    stage([mirror(d16, "m2")], "b2.parquet", now - 60)
+
+    target = str(tmp_path / "stream_triples")
+    stream_build_triples(
+        read_pages_stream(spark, src, files_per_trigger=1), target,
+        drop_near_dups="batch_local",
+    )
+
+    log = spark.read.parquet(target)
+    crawls = spark.read.parquet(target + "_crawls")
+    assert log.select("batch_id").distinct().count() >= 2
+
+    def log_rows(url):
+        keys = [r.crawl_key for r in crawls.filter(F.col("url") == url).collect()]
+        assert keys, f"{url} missing from crawl registry"
+        return log.filter(F.col("crawl_key").isin(keys)).count()
+
+    assert log_rows(d6["url"]) > 0, "in-batch original must keep its triples"
+    assert log_rows(d6["url"] + "?m1") == 0, (
+        "in-batch mirror must be dropped before inference"
+    )
+    assert log_rows(d16["url"]) > 0
+    assert log_rows(d16["url"] + "?m2") > 0, (
+        "cross-batch mirror is KEPT — batch_local cannot see earlier batches"
+    )
+
+
+def test_heal_compact_swap_lost_race_is_benign(tmp_path, monkeypatch):
+    """Two readers racing the same heal: the loser's rename/rmtree raises
+    FileNotFoundError after the winner already healed — must be treated
+    as success, not propagated; a genuinely torn state still raises
+    (ADVICE r5)."""
+    import os
+    import shutil
+
+    from glre_spark.streaming import _heal_compact_swap
+
+    # (a) lost rename race: our rename "fails" but the winner's landed
+    live = str(tmp_path / "log")
+    bak = live + "_compact_bak"
+    os.makedirs(bak)
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)  # the concurrent winner's rename...
+        raise FileNotFoundError(src)  # ...made OUR attempt observe ENOENT
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    _heal_compact_swap(live)  # must swallow
+    monkeypatch.undo()
+    assert os.path.isdir(live) and not os.path.exists(bak)
+
+    # (b) lost rmtree race on the stale-backup branch
+    os.makedirs(bak)
+    real_rmtree = shutil.rmtree
+
+    def racing_rmtree(p, **kw):
+        real_rmtree(p, **kw)
+        raise FileNotFoundError(p)
+
+    monkeypatch.setattr(shutil, "rmtree", racing_rmtree)
+    _heal_compact_swap(live)
+    monkeypatch.undo()
+    assert os.path.isdir(live) and not os.path.exists(bak)
+
+    # (c) genuinely torn (no winner healed anything): re-raise
+    shutil.rmtree(live)
+    os.makedirs(bak)
+
+    def failing_rename(src, dst):
+        raise FileNotFoundError(src)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(FileNotFoundError):
+        _heal_compact_swap(live)
+    monkeypatch.undo()

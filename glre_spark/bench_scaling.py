@@ -171,9 +171,23 @@ def run_level(
     from glre_spark.pipeline import build_triples
     from glre_spark.session import get_spark
 
+    conf = {"spark.ui.enabled": "true"} if stage_dump else {}
+    if job == "flagship":
+        # The flagship's dominant stage is the Arrow inference — cost is
+        # CPU per DOC, not bytes. AQE's byte-based coalescing shrinks its
+        # input exchange to ≈cores giant tasks (measured r6: 19 tasks on
+        # 16 cores → two waves, the second 3 tasks wide → 21 s where
+        # perfect packing gives ~14 s; at 4 cores it coalesced to exactly
+        # 4 tasks, so only the WIDE level paid — a structural scaling
+        # penalty, not noise). Keep the static 64 fine-grained partitions
+        # (4-16× cores at both levels): waves stay balanced and the
+        # byte-tiny downstream aggs cost only ms-scale task overhead. On
+        # a real cluster the same rule applies to any Python-heavy stage:
+        # target tasks-per-core ≥ 2, never bytes.
+        conf["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
     spark = get_spark(
         f"glre_scaling_{cores}", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS,
-        extra_conf={"spark.ui.enabled": "true"} if stage_dump else None,
+        extra_conf=conf or None,
     )
     if job == "relational":
         run = lambda p: relational_job(p).count()  # noqa: E731

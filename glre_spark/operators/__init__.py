@@ -88,7 +88,9 @@ _LOADED = False
 # untouched slides to the tail. Names absent from this list keep their
 # module-import order after it.
 _PRIORITY: list[str] = [
-    # -- new or touched in r6 (18) --
+    # -- new or touched in r6 (20) --
+    "text_repetition_score",   # NEW: Gopher-style repetition filter
+    "url_normalize_dedup",     # NEW: URL canonicalization + crawl dedup
     "dedup_keeper_sketch",     # NEW: KMV bottom-k keeper, exact twin
     "agg_approx_distinct",     # NEW TWIN: tolerance check inside the query
     "minhash_sig",             # oracle CTEs now MATERIALIZED

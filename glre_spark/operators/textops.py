@@ -649,3 +649,102 @@ def url_normalize_dedup(spark, sf_dir):
             (F.col("doc_id") == F.min("doc_id").over(win)).alias("is_keeper"),
         )
     )
+
+
+# --- r6: CCNet-style cross-document boilerplate removal
+
+_FOOTER = "copyright footer all rights reserved contact admin example"  # 8 tokens
+_BP_K = 10  # a chunk in >= K distinct docs is boilerplate
+
+
+@op(
+    "text_boilerplate_strip",
+    # Cross-document boilerplate removal (the CCNet paragraph-dedup
+    # family): segment each doc into fixed 8-token chunks, find chunks
+    # shared by >= K distinct docs, strip them, and republish the doc.
+    # The corpus has no natural boilerplate, so both engines first
+    # PREPEND a deterministic 8-token footer to every third doc — chunk
+    # 0 exactly — which the op must then remove (tail chunks shorter
+    # than 8 tokens can also legitimately cross the K threshold).
+    f"""WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_FOOTER} ' || text ELSE text END AS s
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(s, ' ') AS w FROM s),
+pos AS (
+  SELECT doc_id, UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos
+  FROM w
+),
+ch AS (
+  SELECT p.doc_id, p.pos,
+         array_to_string(w.w[8 * p.pos + 1 : 8 * p.pos + 8], ' ') AS chunk
+  FROM pos p JOIN w USING (doc_id)
+),
+hot AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= {_BP_K}
+),
+kept AS (
+  SELECT ch.doc_id,
+         COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.pos)
+                  FILTER (WHERE hot.chunk IS NULL), '') AS clean,
+         CAST(COUNT(*) FILTER (WHERE hot.chunk IS NOT NULL) AS BIGINT) AS n_dropped,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM ch LEFT JOIN hot USING (chunk)
+  GROUP BY ch.doc_id
+)
+SELECT doc_id, n_chunks, n_dropped,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM kept""",
+)
+def text_boilerplate_strip(spark, sf_dir):
+    """Cross-document boilerplate removal: chunks appearing in >= K
+    distinct docs are stripped and the doc re-emitted. 100-TB shape: the
+    corpus-wide stream is (doc_id, pos, xxhash64(chunk)) — FIXED-WIDTH
+    rows, never the chunk text; the hot set (boilerplate is rare by
+    definition) broadcasts back; only (doc_id, pos) pairs shuffle to the
+    per-doc regroup, and the doc text itself is rebuilt per-row with an
+    index-filter over the original chunk array (F.filter's two-arg
+    lambda = (element, index))."""
+    docs = load(spark, sf_dir, "documents")
+    s = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit(_FOOTER + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    w = F.split(s, " ")
+    n_chunks = F.ceil(F.size("w") / F.lit(8.0)).cast("bigint")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks").cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i * 8 + 1, 8)),
+    )
+    base = docs.select(
+        "doc_id", w.alias("w")
+    ).withColumn("n_chunks", n_chunks).withColumn("chunks", chunks)
+    ex = base.select(
+        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
+    ).select("doc_id", "pos", F.xxhash64("chunk").alias("h"))
+    hot = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_K)
+        .select("h")
+    )
+    dropped = (
+        ex.join(F.broadcast(hot), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("drop_pos"))
+    )
+    joined = base.join(dropped, "doc_id", "left").withColumn(
+        "drop_pos", F.coalesce("drop_pos", F.array().cast("array<int>"))
+    )
+    clean = F.concat_ws(
+        " ",
+        F.filter("chunks", lambda c, i: ~F.array_contains("drop_pos", i)),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_chunks"),
+        F.size("drop_pos").cast("bigint").alias("n_dropped"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -32,7 +32,7 @@ OLD = TEMPLATE + """
 
 dup A/B evidence THAT MUST SURVIVE
 
-## Memory headroom at 4x docs (the in-sandbox 100x proxy)
+## Memory headroom at 4x/16x docs (the in-sandbox 100x proxy)
 
 headroom evidence THAT MUST SURVIVE
 

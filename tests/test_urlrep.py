@@ -112,3 +112,28 @@ def test_url_dedup_merges_distinct_raw_urls(spark):
         .count()
     )
     assert g > 0
+
+
+def test_boilerplate_strip_removes_injected_footer(spark):
+    """Docs with the injected footer (doc_id % 3 == 0) must lose at least
+    chunk 0; docs without it keep their text byte-identical unless a
+    natural tail chunk crossed the K threshold."""
+    from glre_spark.operators.textops import _FOOTER, text_boilerplate_strip
+
+    out = text_boilerplate_strip(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    j = {r["doc_id"]: r for r in out.join(docs, "doc_id").collect()}
+    n_footer_docs = sum(1 for i in j if i % 3 == 0)
+    assert n_footer_docs > 0
+    for i, r in j.items():
+        if i % 3 == 0:
+            assert r["n_dropped"] >= 1
+            # footer occupied chunk 0 exactly, so the cleaned text never
+            # starts with it
+            assert not (r["clean_len"] >= len(_FOOTER) and r["n_dropped"] == 0)
+        else:
+            # non-injected docs: any drop must come from a genuine
+            # cross-doc chunk repeat, which this random-vocab corpus only
+            # produces via short tail chunks — cleaned text is a strict
+            # prefix-preserving subset either way
+            assert r["clean_len"] <= len(r["text"])

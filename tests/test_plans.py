@@ -131,3 +131,51 @@ def test_keeper_semi_join_below_inference_stage(spark):
     assert min(mip) < min(semi) < max(mip), (
         "keeper semi-join is not between the inference stage and the scan"
     )
+
+
+def test_repetition_score_has_no_shuffle(spark):
+    """The Gopher-rules repetition stats are a pure per-row map (sorted-
+    array run-length scan) — the plan must contain NO Exchange at all;
+    at 100 TB this op is a straight scan."""
+    fn, _ = REGISTRY["text_repetition_score"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_url_dedup_single_exchange(spark):
+    """url_normalize_dedup: all normalization is per-row; the only
+    shuffle is the keeper window on the canonical url key."""
+    import re
+
+    fn, _ = REGISTRY["url_normalize_dedup"]
+    plan = _simple_plan(fn(spark, SF_DIR))
+    ex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(ex) == 1, plan
+    assert ex[0].split("#")[0] == "canon_url"
+    assert "Window" in plan
+
+
+def test_boilerplate_hot_set_joins_broadcast(spark):
+    """text_boilerplate_strip: the hot chunk set must come back as a
+    BROADCAST join against the fixed-width (doc_id, pos, hash) stream —
+    a shuffled join here would move the whole corpus stream twice."""
+    import re
+
+    fn, _ = REGISTRY["text_boilerplate_strip"]
+    plan = _simple_plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the chunk text itself must never be exchanged: every non-broadcast
+    # exchange is hash-partitioned on doc_id or the chunk hash h
+    keys = [
+        m.split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert keys, "expected at least one hash exchange"
+    assert set(keys) <= {"doc_id", "h"}, keys

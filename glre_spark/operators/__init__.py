@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "text_repetition_score",   # NEW: Gopher-style repetition filter
     "url_normalize_dedup",     # NEW: URL canonicalization + crawl dedup
     "text_boilerplate_strip",  # NEW: CCNet-style cross-doc chunk removal
+    "text_unigram_logprob",    # NEW: CCNet-style LM quality filter
     "dedup_keeper_sketch",     # NEW: KMV bottom-k keeper, exact twin
     "agg_approx_distinct",     # NEW TWIN: tolerance check inside the query
     "minhash_sig",             # oracle CTEs now MATERIALIZED

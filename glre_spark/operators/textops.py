@@ -748,3 +748,71 @@ def text_boilerplate_strip(spark, sf_dir):
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# --- r6: CCNet-style LM quality filter (corpus-unigram perplexity proxy)
+
+
+@op(
+    "text_unigram_logprob",
+    # Per-doc mean unigram log-probability under the corpus's own unigram
+    # model — the CCNet LM-quality-filter shape with the LM trained
+    # in-pass. Float discipline: ln() is lifted to fixed-point PER TOKEN
+    # TYPE (round(ln·1e6) → BIGINT, a per-row float op both engines agree
+    # on), so every cross-row SUM is exact integer arithmetic — no
+    # float-addition-order hazard. Buckets compare the identically
+    # rounded mean, so the tier decision is engine-stable too.
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+lp AS (
+  SELECT t, CAST(ROUND(ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT) AS lp6
+  FROM cnt, tot
+),
+doc AS (
+  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lp.lp6) AS s
+  FROM tok JOIN lp ON tok.t = lp.t
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(s / 1e6 / n_tokens + 1e-9, 4) + 0 AS mean_logprob,
+       CASE WHEN ROUND(s / 1e6 / n_tokens + 1e-9, 4) + 0 > -3.40 THEN 'head'
+            WHEN ROUND(s / 1e6 / n_tokens + 1e-9, 4) + 0 > -3.41 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM doc""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality score: mean per-token log-probability under
+    a unigram LM trained on the corpus itself, bucketed head/middle/tail.
+    100-TB shape: ONE token-count aggregation builds the LM (vocab-sized
+    output — small), the scored pass broadcast-joins it back onto the
+    exploded stream, and the per-doc reduce keys on doc_id (fixed
+    width). The log-prob is fixed-point-lifted per token TYPE so all
+    cross-row sums are exact integers (no float-order divergence across
+    engines/partitions — the same cents-lift discipline as the money
+    aggregates)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1e6, 0)
+        .cast("bigint")
+        .alias("lp6"),
+    )
+    doc = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"), F.sum("lp6").alias("s"))
+    )
+    mean_lp = fround(F.col("s") / 1e6 / F.col("n_tokens"), 4)
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        mean_lp.alias("mean_logprob"),
+        F.when(mean_lp > -3.40, "head")
+        .when(mean_lp > -3.41, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -179,3 +179,21 @@ def test_boilerplate_hot_set_joins_broadcast(spark):
     ]
     assert keys, "expected at least one hash exchange"
     assert set(keys) <= {"doc_id", "h"}, keys
+
+
+def test_unigram_lm_joins_broadcast(spark):
+    """text_unigram_logprob: the vocab-sized LM table must ride broadcast
+    joins back onto the token stream — a shuffled join would exchange the
+    exploded corpus twice."""
+    fn, _ = REGISTRY["text_unigram_logprob"]
+    plan = _simple_plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the exploded token stream may be exchanged only for its two
+    # aggregations: vocab count (t) and the per-doc reduce (doc_id)
+    import re
+
+    keys = [
+        m.split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    ]
+    assert set(keys) <= {"t", "doc_id"}, keys

@@ -525,9 +525,15 @@ quantization penalty ONLY at 4N (19 tasks / 16 cores). Flagship rev 3
 pins the static 64 fine-grained partitions for that session (see
 protocol note above); the first rev-3 session — itself contended
 (ceiling 0.749, all N runs uniformly ~25% over rev-2's) — still took
-the 4N best 21.0 → 16.5 s and landed 0.801 raw. Later quiet-session
-re-runs min-merge per level as always; a faster N would lower the ratio
-exactly as a faster 4N raises it.
+the 4N best 21.0 → 16.5 s and landed 0.801 raw. Two further sessions
+(ceilings 0.902 / 0.853) settled the min-merge at N 46.84 / 4N 13.95 =
+0.839 raw, with each individual session's own ratio at 0.80 / 0.80 /
+0.84. Honest cost accounting: the rev-3 N floor (~46.8 s over three
+sessions) sits ~12% above rev-2's 41.66 s — fine-grained tasks charge
+the 4-core level ~16 extra task waves of overhead while buying the
+16-core level 35% (21.0 → 13.95 s best-vs-best) — the right trade in
+the scale direction (a real cluster IS the wide level), reported here
+rather than hidden in the ratio.
 
 ## Flagship per-stage breakdown (VERDICT r02 next-round #2)
 

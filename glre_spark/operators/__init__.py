@@ -88,6 +88,13 @@ _LOADED = False
 # untouched slides to the tail. Names absent from this list keep their
 # module-import order after it.
 _PRIORITY: list[str] = [
+    # -- new in r6 session 2: KG graph analytics (§2.14) --
+    "kg_cooccur_edges",
+    "kg_degree_stats",
+    "kg_pagerank",
+    "kg_edge_pmi",
+    "kg_2hop_reach",
+    "kg_triangle_count",
     # -- new or touched in r6 (20) --
     "text_repetition_score",   # NEW: Gopher-style repetition filter
     "url_normalize_dedup",     # NEW: URL canonicalization + crawl dedup
@@ -202,6 +209,7 @@ def _ensure_loaded() -> None:
         # import for registration side effects
         from glre_spark.operators import (  # noqa: F401
             aggs,
+            graphops,
             joins,
             kgops,
             mm_ops,

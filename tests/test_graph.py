@@ -1,0 +1,112 @@
+"""KG graph-analytics semantics (SURVEY.md §2.14): hand-computed
+fixed-point PageRank, known-graph triangles, and conservation invariants
+the DuckDB twins can't see (they'd share a systematic bug; these checks
+derive expectations independently in Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glre_spark.operators.graphops import (
+    _PR_ITERS,
+    _PR_SCALE,
+    cooccur_edges,
+    kg_degree_stats,
+    kg_pagerank,
+    kg_triangle_count,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, texts, tmp_path):
+    """Write a minimal documents.parquet so the (spark, sf_dir) ops run
+    against a hand-built corpus."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _ref_pagerank(edges: dict[tuple[str, str], int]) -> dict[str, int]:
+    """Independent reimplementation of the op's exact integer arithmetic."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    w_out: dict[str, int] = {}
+    for (s, _), w in edges.items():
+        w_out[s] = w_out.get(s, 0) + w
+    n = len(nodes)
+    r_init, base = _PR_SCALE // n, (_PR_SCALE // n) * 15 // 100
+    rank = {v: r_init for v in nodes}
+    for _ in range(_PR_ITERS):
+        nxt = {v: base for v in nodes}
+        for (s, d), w in edges.items():
+            nxt[d] += ((rank[s] * 85) // 100) * w // w_out[s]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_hand_computation(spark, tmp_path):
+    # corpus "a b a c" ×2 docs + "b c": edges a→b, b→a, a→c (×2 each), b→c
+    sf = _docs(spark, ["a b a c", "a b a c", "b c"], tmp_path)
+    edges = {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 2, ("b", "c"): 1}
+    got_edges = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in cooccur_edges(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).collect()
+    }
+    assert got_edges == edges
+    got = {r["entity"]: r["rank"] for r in kg_pagerank(spark, sf).collect()}
+    assert got == _ref_pagerank(edges)
+    # sink node c accumulated mass; source-heavy a kept less than init
+    assert got["c"] > got["b"]
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    # "a b c a" → directed a→b, b→c, c→a → undirected triangle {a,b,c};
+    # "c d" adds a pendant edge: d participates in 0 triangles.
+    sf = _docs(spark, ["a b c a", "c d"], tmp_path)
+    got = {
+        r["entity"]: r["n_triangles"]
+        for r in kg_triangle_count(spark, sf).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_degree_and_pagerank_conservation(spark):
+    """Corpus-level invariants on the real testdata: every edge weight is
+    counted once in w_out and once in w_in; PageRank mass stays within
+    [n·base, SCALE] (damped mass only leaks at dangling nodes)."""
+    deg = kg_degree_stats(spark, SF_DIR)
+    tot = deg.agg(
+        F.sum("w_out").alias("o"), F.sum("w_in").alias("i")
+    ).collect()[0]
+    assert tot["o"] == tot["i"] > 0
+    pr = kg_pagerank(spark, SF_DIR).collect()
+    n = len(pr)
+    mass = sum(r["rank"] for r in pr)
+    base = (_PR_SCALE // n) * 15 // 100
+    assert n * base <= mass <= _PR_SCALE
+
+
+def test_cooccur_edges_plan_is_aggregate_only(spark):
+    """The corpus-sized stage must be ONE map-side-combining aggregation:
+    two HashAggregate operators around a single (src, dst) exchange, no
+    Window, no Python."""
+    import re
+
+    from tests.test_plans import plan_of
+
+    df = cooccur_edges(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    plan = plan_of(df)
+    # formatted plans list each operator once as "(n) Name" detail header
+    aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(aggs) == 2  # partial + final around ONE exchange
+    assert len(exchanges) == 1
+    assert "Window" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan

@@ -60,6 +60,8 @@ def main() -> None:
         "simhash_dedup",
         "cc_label_prop",
         "mm_image_ahash",
+        "kg_pagerank",          # graph analytics over the built KG (§2.14)
+        "domain_stats",         # per-domain corpus accounting (r6)
     ]
     # min of N runs per op: this sandbox VM bursts 3-10× slower under
     # hypervisor steal on identical warm runs; min is the least-contended

@@ -88,7 +88,9 @@ _LOADED = False
 # untouched slides to the tail. Names absent from this list keep their
 # module-import order after it.
 _PRIORITY: list[str] = [
-    # -- new in r6 session 2: KG graph analytics (§2.14) --
+    # -- new in r6 session 2: KG graph analytics (§2.14) + sampling/stats --
+    "sample_stratified",
+    "domain_stats",
     "kg_cooccur_edges",
     "kg_degree_stats",
     "kg_pagerank",

@@ -816,3 +816,123 @@ def text_unigram_logprob(spark, sf_dir):
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@op(
+    "sample_stratified",
+    # quality buckets by fixed thresholds on the text_quality_score
+    # formula (identical double expression both engines → identical
+    # bucket), then a per-bucket deterministic hash-threshold keep:
+    # head 100%, mid 50%, tail 10%. w_x100 = inverse sampling rate ×100
+    # (integer importance weight for downstream loss reweighting).
+    f"""WITH q AS (
+  SELECT doc_id,
+         LEAST(length(text) / 500.0, 1.0) * 0.5
+           + CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORDS}))
+                  AS DOUBLE) / len(string_split(text, ' ')) * 0.5 AS quality
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN quality >= 0.55 THEN 'head'
+              WHEN quality >= 0.40 THEN 'mid' ELSE 'tail' END AS bucket
+  FROM q)
+SELECT doc_id, bucket,
+       CAST(CASE bucket WHEN 'head' THEN 100 WHEN 'mid' THEN 200
+            ELSE 1000 END AS BIGINT) AS w_x100
+FROM b
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))::UBIGINT % 100
+      < CASE bucket WHEN 'head' THEN 100 WHEN 'mid' THEN 50 ELSE 10 END""",
+)
+def sample_stratified(spark, sf_dir):
+    """Quality-stratified deterministic sampling (the DSIR/CCNet move:
+    keep all head-quality docs, downsample the tail instead of dropping
+    it, and carry the inverse-rate importance weight so the sampled
+    corpus is unbiased). Per-row only — bucket from fixed thresholds on
+    the quality formula, keep/drop from a salted md5 threshold per doc
+    (split_holdout's idiom: stable under reruns, engines, repartitioning,
+    corpus growth). ZERO shuffles at any scale; `sample_frac`'s engine
+    RNG can give none of those guarantees."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))
+    )
+    quality = (
+        F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
+        + stop.cast("double") / F.size(toks) * 0.5
+    )
+    bucket = (
+        F.when(quality >= 0.55, "head").when(quality >= 0.40, "mid").otherwise("tail")
+    )
+    u100 = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.when(F.col("bucket") == "head", 100).when(
+        F.col("bucket") == "mid", 50
+    ).otherwise(10)
+    w = (
+        F.when(F.col("bucket") == "head", 100)
+        .when(F.col("bucket") == "mid", 200)
+        .otherwise(1000)
+        .cast("bigint")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", bucket.alias("bucket"), u100.alias("u100"))
+        .filter(F.col("u100") < rate)
+        .select("doc_id", "bucket", w.alias("w_x100"))
+    )
+
+
+@op(
+    "domain_stats",
+    # per-domain corpus accounting: CCNet/crawl pipelines budget and
+    # filter per REGISTERED DOMAIN, not per page. Host from the same
+    # deterministic url synthesis as url_normalize_dedup.
+    f"""WITH u AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(regexp_extract(
+             regexp_replace({_URL_SQL}, '^[A-Za-z]+://', ''), '^[^/?]+')),
+             '^www\\.', '') AS domain
+  FROM documents)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(text)) // COUNT(*) AS BIGINT) AS avg_chars
+FROM u GROUP BY domain""",
+)
+def domain_stats(spark, sf_dir):
+    """Per-domain corpus accounting (doc/token/char budget per registered
+    domain) — what a crawl pipeline ranks and caps BEFORE fetching more
+    of a domain. ONE narrow groupBy on the domain key with map-side
+    combine; avg as integer floor division (exact, no float-sum hazard).
+    At 10^12 docs the domain key is skewed (a few giant hosts) — the agg
+    is partial-combine so the skew collapses map-side; a head-domain
+    salt (join_salted_skew's pattern) is the escalation if a single
+    domain still dominates a reducer."""
+    bare = F.regexp_replace(_url_col(), "^[A-Za-z]+://", "")
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(bare, "^[^/?]+", 0)), r"^www\.", ""
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            domain.alias("domain"),
+            F.size(F.split("text", " ")).alias("nt"),
+            F.length("text").alias("nc"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.expr("sum(nc) div count(*)").cast("bigint").alias("avg_chars"),
+        )
+    )

@@ -92,6 +92,30 @@ def test_degree_and_pagerank_conservation(spark):
     assert n * base <= mass <= _PR_SCALE
 
 
+def test_pagerank_is_partitioning_invariant(spark, tmp_path):
+    """The fixed-point claim, tested directly: the SAME corpus written at
+    1 vs 7 input partitions (different split boundaries, different
+    summation orders) must produce BIT-IDENTICAL ranks — float PageRank
+    cannot promise this, integer floor arithmetic must."""
+    texts = [f"w{i % 9} w{(i * 3) % 9} w{(i * 5 + 1) % 9}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    ranks = []
+    for parts, sub in ((1, "p1"), (7, "p7")):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            str(tmp_path / sub / "documents.parquet")
+        )
+        ranks.append(
+            sorted(
+                (r["entity"], r["rank"])
+                for r in kg_pagerank(spark, str(tmp_path / sub)).collect()
+            )
+        )
+    assert ranks[0] == ranks[1]
+
+
 def test_cooccur_edges_plan_is_aggregate_only(spark):
     """The corpus-sized stage must be ONE map-side-combining aggregation:
     two HashAggregate operators around a single (src, dst) exchange, no

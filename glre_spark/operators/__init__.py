@@ -89,6 +89,8 @@ _LOADED = False
 # module-import order after it.
 _PRIORITY: list[str] = [
     # -- new in r6 session 2: KG graph analytics (§2.14) + sampling/stats --
+    "filter_gopher_rules",
+    "kg_neighbor_jaccard",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

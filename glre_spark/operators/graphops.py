@@ -295,3 +295,72 @@ def kg_triangle_count(spark, sf_dir):
         "entity",
         F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias("n_triangles"),
     )
+
+
+@op(
+    "kg_neighbor_jaccard",
+    f"""WITH {_EDGES_CTE},
+u AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM u UNION ALL SELECT b, a FROM u),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+sh AS (
+  SELECT a1.node AS entity_a, a2.node AS entity_b, COUNT(*) AS n_shared
+  FROM adj a1 JOIN adj a2 ON a2.nbr = a1.nbr AND a1.node < a2.node
+  GROUP BY a1.node, a2.node)
+SELECT sh.entity_a, sh.entity_b, sh.n_shared,
+       d1.deg AS deg_a, d2.deg AS deg_b,
+       ROUND(CAST(sh.n_shared AS DOUBLE)
+             / (d1.deg + d2.deg - sh.n_shared) + 1e-9, 4) + 0 AS jaccard
+FROM sh
+JOIN deg d1 ON d1.node = sh.entity_a
+JOIN deg d2 ON d2.node = sh.entity_b""",
+)
+def kg_neighbor_jaccard(spark, sf_dir):
+    """Structural entity similarity: Jaccard overlap of UNDIRECTED
+    neighbor sets, for every entity pair sharing at least one neighbor
+    (the entity-resolution signal that catches aliases co-occurring with
+    the same context entities even when their surface forms never meet).
+    Candidate pairs come from a wedge join THROUGH the shared neighbor —
+    never an all-pairs product — so the fan-out is sum(deg(m)^2) over the
+    AGGREGATED graph, and the hub-degree cap from kg_degree_stats is the
+    documented escalation at web scale. Jaccard = shared / (deg_a +
+    deg_b - shared) from exact integer counts; one fround per pair."""
+    e = cooccur_edges(load(spark, sf_dir, "documents"))
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds adj twice + the wedge self-join
+    )
+    adj = u.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        u.select(F.col("b"), F.col("a"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a1 = adj.select(F.col("node").alias("entity_a"), "nbr")
+    a2 = adj.select(F.col("node").alias("entity_b"), "nbr")
+    sh = (
+        a1.join(a2, "nbr")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        sh.join(deg.withColumnsRenamed({"node": "entity_a", "deg": "deg_a"}), "entity_a")
+        .join(deg.withColumnsRenamed({"node": "entity_b", "deg": "deg_b"}), "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            fround(
+                F.col("n_shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -936,3 +936,78 @@ def domain_stats(spark, sf_dir):
             F.expr("sum(nc) div count(*)").cast("bigint").alias("avg_chars"),
         )
     )
+
+
+@op(
+    "filter_gopher_rules",
+    # The published Gopher document-quality rules (Rae et al. 2021,
+    # "Scaling Language Models", Table A1) as ONE composite keep/drop
+    # verdict. Every rule is evaluated in EXACT integer arithmetic
+    # (cross-multiplied thresholds, floor division for the reported
+    # mean) so both engines agree bit-for-bit with no float hazard.
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(w, t -> t IN {_STOPWORDS})) AS BIGINT) AS n_stop
+  FROM w)
+SELECT doc_id, n_tokens,
+       CAST(100 * sum_len // n_tokens AS BIGINT) AS mean_wl_x100,
+       (n_tokens BETWEEN 50 AND 100000) AS r_ntok,
+       (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens) AS r_wordlen,
+       (5 * n_alpha >= 4 * n_tokens) AS r_alpha,
+       (n_stop >= 2) AS r_stop,
+       ((n_tokens BETWEEN 50 AND 100000)
+        AND 3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens
+        AND 5 * n_alpha >= 4 * n_tokens
+        AND n_stop >= 2) AS keep
+FROM m""",
+)
+def filter_gopher_rules(spark, sf_dir):
+    """Composite Gopher-rules quality gate: doc length in [50, 100k]
+    tokens, mean word length in [3, 10], >=80% of tokens alphabetic,
+    >=2 stopword hits — one boolean per rule plus the conjunction, so a
+    pipeline can both filter AND account for WHY docs died (the rule
+    booleans aggregate into a per-rule kill report). Pure per-row array
+    scans over built-ins — an embarrassingly-parallel map with ZERO
+    shuffles at any corpus size; thresholds compare cross-multiplied
+    integers, never a float ratio."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", w.alias("w"))
+    n = F.size("w").cast("long")
+    sum_len = F.aggregate(
+        F.transform("w", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter("w", lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter("w", lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sum_len.alias("sum_len"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    r_ntok = F.col("n_tokens").between(50, 100000)
+    r_wordlen = (3 * F.col("n_tokens") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_tokens")
+    )
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tokens")
+    r_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("100 * sum_len div n_tokens").cast("bigint").alias("mean_wl_x100"),
+        r_ntok.alias("r_ntok"),
+        r_wordlen.alias("r_wordlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_ntok & r_wordlen & r_alpha & r_stop).alias("keep"),
+    )

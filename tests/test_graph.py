@@ -134,3 +134,38 @@ def test_cooccur_edges_plan_is_aggregate_only(spark):
     assert "Window" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_neighbor_jaccard_known_graph(spark, tmp_path):
+    """4-cycle a-b-c-d-a: opposite corners share BOTH neighbors
+    (jaccard 1.0); adjacent corners share none, so the wedge join must
+    not emit them at all — exactly two rows."""
+    from glre_spark.operators.graphops import kg_neighbor_jaccard
+
+    _docs(spark, ["a b c d a"], tmp_path)
+    rows = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in kg_neighbor_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for r in rows.values():
+        assert r["n_shared"] == 2 and r["deg_a"] == 2 and r["deg_b"] == 2
+        assert r["jaccard"] == 1.0
+
+
+def test_neighbor_jaccard_partial_overlap(spark, tmp_path):
+    """Path a-b-c plus b-d: N(a)={b}, N(c)={b}, N(d)={b} → the three
+    leaves pairwise share exactly b with jaccard 1/(1+1-1)=1.0, and
+    pairs THROUGH b never appear (b shares no neighbor with anyone:
+    its neighbors' neighbor sets contain only b itself... except via
+    other leaves). Hand-checked: leaves {a,c,d} pairwise 1.0, no rows
+    involving b."""
+    from glre_spark.operators.graphops import kg_neighbor_jaccard
+
+    _docs(spark, ["a b c", "d b d"], tmp_path)  # edges a-b, b-c, b-d (d-b dup)
+    rows = {
+        (r["entity_a"], r["entity_b"]): r["jaccard"]
+        for r in kg_neighbor_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("a", "c"), ("a", "d"), ("c", "d")}
+    assert all(j == 1.0 for j in rows.values())

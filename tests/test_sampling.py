@@ -58,3 +58,32 @@ def test_domain_stats_conserves_corpus(spark):
     for r in stats.select("domain").collect():
         d = r["domain"]
         assert d == d.lower() and "://" not in d and not d.startswith("www.")
+
+
+def test_gopher_rules_recomputed_in_python(spark):
+    """Recompute every rule from the raw text in plain Python and demand
+    exact agreement — the DuckDB twin shares the SQL decomposition, this
+    check shares nothing."""
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_DIR, "documents").collect()}
+    out = {r["doc_id"]: r for r in REGISTRY["filter_gopher_rules"][0](spark, SF_DIR).collect()}
+    assert set(out) == set(docs)
+    saw_keep, saw_drop = False, False
+    for doc_id, text in docs.items():
+        w = text.split(" ")
+        n = len(w)
+        sum_len = sum(len(t) for t in w)
+        n_alpha = sum(1 for t in w if any(c.isalpha() for c in t))
+        n_stop = sum(1 for t in w if t in stop)
+        r = out[doc_id]
+        assert r["n_tokens"] == n
+        assert r["mean_wl_x100"] == 100 * sum_len // n
+        assert r["r_ntok"] == (50 <= n <= 100000)
+        assert r["r_wordlen"] == (3 * n <= sum_len <= 10 * n)
+        assert r["r_alpha"] == (5 * n_alpha >= 4 * n)
+        assert r["r_stop"] == (n_stop >= 2)
+        assert r["keep"] == (r["r_ntok"] and r["r_wordlen"] and r["r_alpha"] and r["r_stop"])
+        saw_keep |= r["keep"]
+        saw_drop |= not r["keep"]
+    # the corpus must exercise BOTH branches or the gate proves nothing
+    assert saw_keep and saw_drop

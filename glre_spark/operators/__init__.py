@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     # -- new in r6 session 2: KG graph analytics (§2.14) + sampling/stats --
     "filter_gopher_rules",
     "kg_neighbor_jaccard",
+    "q3_shipping_priority",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

@@ -192,3 +192,72 @@ def join_cross_small(spark, sf_dir):
     region = load(spark, sf_dir, "region").select("r_name")
     status = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return region.crossJoin(status)
+
+
+@op(
+    "q3_shipping_priority",
+    # TPC-H Q3 shape composed end-to-end: dim-filter → broadcast join →
+    # fact join → partial agg → top-10. Revenue kept as the EXACT
+    # integer cents×pct sum (rev_x10000) so ranking, tie-breaks, and the
+    # cross-engine hash are all float-free; the display value derives
+    # from it by one rounded division.
+    """SELECT l_orderkey, rev_x10000,
+              ROUND(rev_x10000 / 10000.0 + 1e-9, 2) + 0 AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+       FROM (
+         SELECT l.l_orderkey,
+                CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS rev_x10000,
+                o.o_orderdate, o.o_orderpriority
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-06-01'
+           AND l.l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+       ORDER BY rev_x10000 DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) composed from this repo's own
+    conventions: the segment-filtered customer dim BROADCASTS into
+    orders (date filter pushed to the orders scan), the pre-shrunk
+    order set joins lineitem on the natural l_orderkey shuffle key,
+    revenue partial-aggregates map-side as exact integer cents×pct, and
+    the top-10 runs as TakeOrderedAndProject — per-partition heaps, no
+    global sort, no corpus-sized exchange after the agg. The tie-break
+    (rev, then l_orderkey) makes the LIMIT deterministic across
+    engines and partitionings."""
+    cutoff = "1998-06-01"
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_x10000"))
+        .orderBy(F.col("rev_x10000").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "rev_x10000",
+            fround(F.col("rev_x10000") / 10000.0, 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )

@@ -197,3 +197,21 @@ def test_unigram_lm_joins_broadcast(spark):
         for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     ]
     assert set(keys) <= {"t", "doc_id"}, keys
+
+
+def test_q3_plan_broadcasts_dim_and_heap_sorts_topk(spark):
+    """The composed Q3 must show: the segment-filtered customer dim as a
+    BroadcastHashJoin, the date filters pushed to BOTH fact scans, and
+    the top-10 as TakeOrderedAndProject (per-partition heaps) — never a
+    global Sort of the aggregated stream."""
+    fn, _ = REGISTRY["q3_shipping_priority"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    # the customer scan must be pruned to the join key + filter column
+    cust_scans = [l for l in plan.splitlines()
+                  if "ReadSchema" in l and "c_custkey" in l]
+    assert cust_scans and all("c_acctbal" not in l for l in cust_scans)

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "filter_gopher_rules",
     "kg_neighbor_jaccard",
     "q3_shipping_priority",
+    "domain_stats_stream",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

@@ -890,6 +890,16 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+def _domain_col():
+    """Normalized registered domain from the deterministic url synthesis:
+    lowercase host, scheme and www. stripped — shared by domain_stats and
+    its streaming twin."""
+    bare = F.regexp_replace(_url_col(), "^[A-Za-z]+://", "")
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(bare, "^[^/?]+", 0)), r"^www\.", ""
+    )
+
+
 @op(
     "domain_stats",
     # per-domain corpus accounting: CCNet/crawl pipelines budget and
@@ -917,14 +927,10 @@ def domain_stats(spark, sf_dir):
     is partial-combine so the skew collapses map-side; a head-domain
     salt (join_salted_skew's pattern) is the escalation if a single
     domain still dominates a reducer."""
-    bare = F.regexp_replace(_url_col(), "^[A-Za-z]+://", "")
-    domain = F.regexp_replace(
-        F.lower(F.regexp_extract(bare, "^[^/?]+", 0)), r"^www\.", ""
-    )
     return (
         load(spark, sf_dir, "documents")
         .select(
-            domain.alias("domain"),
+            _domain_col().alias("domain"),
             F.size(F.split("text", " ")).alias("nt"),
             F.length("text").alias("nc"),
         )

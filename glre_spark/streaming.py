@@ -205,6 +205,44 @@ PAGES_SCHEMA = (
 )
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def domain_running_stats(docs: DataFrame, domain) -> DataFrame:
+    """Running per-domain corpus accounting over a documents stream — the
+    incremental form of the batch domain_stats operator (a crawl frontier
+    updates its per-domain budget as pages ARRIVE, not in a nightly
+    batch). A plain streaming groupBy aggregation: state is one row per
+    registered domain, bounded by the domain vocabulary — NOT the doc
+    stream — so it needs no watermark eviction; sums are exact integers,
+    so the final state is order/batching-independent."""
+    return (
+        docs.select(
+            domain.alias("domain"),
+            F.size(F.split("text", " ")).alias("nt"),
+            F.length("text").alias("nc"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
 def read_pages_stream(spark: SparkSession, path: str, files_per_trigger: int = 4) -> DataFrame:
     return (
         spark.readStream.schema(PAGES_SCHEMA)

@@ -87,3 +87,18 @@ def test_gopher_rules_recomputed_in_python(spark):
         saw_drop |= not r["keep"]
     # the corpus must exercise BOTH branches or the gate proves nothing
     assert saw_keep and saw_drop
+
+
+def test_domain_stats_stream_equals_batch(spark):
+    """The incremental (3-micro-batch) per-domain accounting must land on
+    exactly the batch answer — integer sums make the final state
+    independent of how the file source batched the corpus."""
+    batch = {
+        r["domain"]: (r["n_docs"], r["n_tokens"], r["n_chars"], r["avg_chars"])
+        for r in REGISTRY["domain_stats"][0](spark, SF_DIR).collect()
+    }
+    stream = {
+        r["domain"]: (r["n_docs"], r["n_tokens"], r["n_chars"], r["avg_chars"])
+        for r in REGISTRY["domain_stats_stream"][0](spark, SF_DIR).collect()
+    }
+    assert stream == batch

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "kg_neighbor_jaccard",
     "q3_shipping_priority",
     "domain_stats_stream",
+    "sample_frac",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",
@@ -164,7 +165,6 @@ _PRIORITY: list[str] = [
     "sort_global",
     "limit_topn",
     "set_union",
-    "sample_frac",
     "sort_within_part",
     "repartition_urlhash",
     "dedup_exact",

@@ -84,10 +84,45 @@ def limit_topn(spark, sf_dir):
     )
 
 
-@op("sample_frac", None)  # engine-specific sampling → rows-only check
+@op(
+    "sample_frac",
+    # Twin design (r6; was rows-only): the sampled ROWS are engine-RNG-
+    # specific and can never hash-match, so — like agg_approx_distinct —
+    # each engine referees ITS OWN sample and the hashed surface is the
+    # deterministic verdict: source count, the sampled fraction inside a
+    # 5-sigma binomial band, and bernoulli's no-duplicates property.
+    """WITH s AS (SELECT o_orderkey FROM orders USING SAMPLE 10 PERCENT (bernoulli, 42)),
+src AS (SELECT COUNT(*) AS n_source FROM orders),
+sm AS (SELECT COUNT(*) AS n_sampled, COUNT(DISTINCT o_orderkey) AS n_distinct FROM s)
+SELECT CAST(n_source AS BIGINT) AS n_source,
+       abs(n_sampled - 0.1 * n_source) <= ceil(5 * sqrt(n_source * 0.09))
+           AS frac_within_tol,
+       n_sampled = n_distinct AS no_duplicates
+FROM src, sm""",
+)
 def sample_frac(spark, sf_dir):
-    return load(spark, sf_dir, "orders").sample(fraction=0.1, seed=42).select(
-        "o_orderkey", "o_custkey"
+    """Bernoulli row sampling refereed in-query: `.sample(0.1)` is the
+    production path (a plain per-row coin flip — no shuffle at any
+    scale); the checked surface verifies the drawn fraction lands inside
+    5 sigma of Binomial(n_source, 0.1) and that no row was drawn twice.
+    For REPRODUCIBLE sampling (stable across engines/reruns/growth) use
+    split_holdout's salted-hash idiom instead — engine RNG cannot give
+    that, which is exactly why this op's twin referees rather than
+    compares rows."""
+    orders = load(spark, sf_dir, "orders")
+    samp = orders.sample(fraction=0.1, seed=42).select("o_orderkey")
+    src = orders.agg(F.count("*").alias("n_source"))
+    sm = samp.agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+    )
+    tol = F.ceil(5 * F.sqrt(F.col("n_source") * 0.09))
+    return src.crossJoin(sm).select(
+        F.col("n_source").cast("bigint").alias("n_source"),
+        (F.abs(F.col("n_sampled") - 0.1 * F.col("n_source")) <= tol).alias(
+            "frac_within_tol"
+        ),
+        (F.col("n_sampled") == F.col("n_distinct")).alias("no_duplicates"),
     )
 
 

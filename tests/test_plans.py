@@ -215,3 +215,28 @@ def test_q3_plan_broadcasts_dim_and_heap_sorts_topk(spark):
     cust_scans = [l for l in plan.splitlines()
                   if "ReadSchema" in l and "c_custkey" in l]
     assert cust_scans and all("c_acctbal" not in l for l in cust_scans)
+
+
+def test_domain_stats_single_mapside_exchange(spark):
+    """Per-domain accounting must be ONE map-side-combining aggregation:
+    two HashAggregates around a single domain-key exchange, no Window,
+    no Python stage."""
+    import re
+
+    fn, _ = REGISTRY["domain_stats"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Window" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_neighbor_jaccard_no_cartesian(spark):
+    """The wedge join must stay an equi-join through the shared-neighbor
+    key — any all-pairs fallback (cartesian / broadcast nested loop)
+    is a scale-killer regression."""
+    fn, _ = REGISTRY["kg_neighbor_jaccard"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

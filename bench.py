@@ -62,6 +62,8 @@ def main() -> None:
         "mm_image_ahash",
         "kg_pagerank",          # graph analytics over the built KG (§2.14)
         "domain_stats",         # per-domain corpus accounting (r6)
+        "q3_shipping_priority", # composed relational path (broadcast + top-k)
+        "filter_gopher_rules",  # per-row quality gate (zero-shuffle map)
     ]
     # min of N runs per op: this sandbox VM bursts 3-10× slower under
     # hypervisor steal on identical warm runs; min is the least-contended

@@ -90,6 +90,7 @@ _LOADED = False
 _PRIORITY: list[str] = [
     # -- new in r6 session 2: KG graph analytics (§2.14) + sampling/stats --
     "filter_gopher_rules",
+    "vocab_topk_zipf",
     "kg_neighbor_jaccard",
     "q3_shipping_priority",
     "domain_stats_stream",

@@ -8,6 +8,7 @@ whole-stage-codegen) — no UDFs.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from glre_spark.operators import fround, load, op
@@ -1016,4 +1017,50 @@ def filter_gopher_rules(spark, sf_dir):
         r_alpha.alias("r_alpha"),
         r_stop.alias("r_stop"),
         (r_ntok & r_wordlen & r_alpha & r_stop).alias("keep"),
+    )
+
+
+@op(
+    "vocab_topk_zipf",
+    # Corpus vocabulary accounting: the head of the token frequency
+    # distribution with Zipf rank and running coverage — what a
+    # tokenizer-training / vocab-budget pass computes before anything
+    # else touches the corpus. Deterministic tie-break (freq desc,
+    # token asc) makes the LIMIT and both window functions
+    # engine/partitioning-exact.
+    """WITH f AS (
+  SELECT t AS token, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+k AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100)
+SELECT token, CAST(freq AS BIGINT) AS freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+       CAST(SUM(freq) OVER (ORDER BY freq DESC, token ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_freq
+FROM k""",
+)
+def vocab_topk_zipf(spark, sf_dir):
+    """Top-K vocabulary with Zipf rank and cumulative coverage. The
+    corpus-sized token stream collapses through ONE map-side-combining
+    groupBy on the token key (freq table is vocab-sized, not
+    corpus-sized); the top-K then runs as TakeOrderedAndProject and the
+    rank/running-sum window sees only K rows — the single-partition
+    window is bounded by K, never by the vocabulary, so the plan is
+    identical at 10^12 docs. Integer counts throughout."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    topk = freq.orderBy(F.col("freq").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return topk.select(
+        "token",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("freq")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_freq"),
     )

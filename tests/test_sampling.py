@@ -102,3 +102,26 @@ def test_domain_stats_stream_equals_batch(spark):
         for r in REGISTRY["domain_stats_stream"][0](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_vocab_zipf_invariants(spark):
+    """Rank must be 1..K contiguous in non-increasing frequency order,
+    cum_freq must be the exact prefix sum, and the head coverage can
+    never exceed the true corpus token count."""
+    rows = sorted(
+        REGISTRY["vocab_topk_zipf"][0](spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert all(a >= b for a, b in zip(freqs, freqs[1:]))
+    run = 0
+    for r in rows:
+        run += r["freq"]
+        assert r["cum_freq"] == run
+    total = (
+        load(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    assert run <= total

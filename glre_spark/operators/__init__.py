@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "filter_gopher_rules",
     "vocab_topk_zipf",
     "kg_neighbor_jaccard",
+    "kg_degree_entropy",
     "q3_shipping_priority",
     "domain_stats_stream",
     "sample_frac",

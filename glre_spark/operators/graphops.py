@@ -364,3 +364,57 @@ def kg_neighbor_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@op(
+    "kg_degree_entropy",
+    # Per-term ln quantized to integer micro-nats BEFORE the sum: the
+    # per-edge double expression is identical in both engines (the
+    # kg_edge_pmi convention), and rounding each term to a BIGINT means
+    # the SUM is exact integer arithmetic — no float-summation-order
+    # hazard no matter how many out-edges a hub has. The final entropy
+    # is one deterministic double expression over integers.
+    f"""WITH {_EDGES_CTE},
+q AS (
+  SELECT src,
+         CAST(SUM(weight) AS BIGINT) AS w_total,
+         CAST(COUNT(*) AS BIGINT) AS n_out,
+         CAST(SUM(CAST(ROUND(1e6 * weight * ln(CAST(weight AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS sum_wlnw_micro
+  FROM edges GROUP BY src)
+SELECT src AS entity, w_total, n_out,
+       ROUND(ln(CAST(w_total AS DOUBLE))
+             - (CAST(sum_wlnw_micro AS DOUBLE) / 1e6) / CAST(w_total AS DOUBLE)
+             + 1e-9, 4) + 0 AS entropy
+FROM q""",
+)
+def kg_degree_entropy(spark, sf_dir):
+    """Shannon entropy of each entity's out-edge weight distribution —
+    the hub-quality signal: a high-degree node with LOW entropy is a
+    template artifact (all weight on one neighbor), high entropy marks
+    a genuine promiscuous hub that linking should degree-cap. One
+    map-side-combining groupBy over the AGGREGATED graph; each edge
+    contributes round(1e6·w·ln w) as an integer micro-nat term so the
+    per-group sum is exact and order-independent, and the closing
+    H = ln(W) − Σw·ln(w)/W is a single double expression over those
+    integers (kg_edge_pmi's engine-stable ln convention)."""
+    e = cooccur_edges(load(spark, sf_dir, "documents"))
+    term = F.round(
+        1e6 * F.col("weight") * F.log(F.col("weight").cast("double")), 0
+    ).cast("bigint")
+    q = e.groupBy("src").agg(
+        F.sum("weight").cast("bigint").alias("w_total"),
+        F.count("*").cast("bigint").alias("n_out"),
+        F.sum(term).cast("bigint").alias("sum_wlnw_micro"),
+    )
+    entropy = (
+        F.log(F.col("w_total").cast("double"))
+        - (F.col("sum_wlnw_micro").cast("double") / 1e6)
+        / F.col("w_total").cast("double")
+    )
+    return q.select(
+        F.col("src").alias("entity"),
+        "w_total",
+        "n_out",
+        fround(entropy, 4).alias("entropy"),
+    )

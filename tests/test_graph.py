@@ -169,3 +169,25 @@ def test_neighbor_jaccard_partial_overlap(spark, tmp_path):
     }
     assert set(rows) == {("a", "c"), ("a", "d"), ("c", "d")}
     assert all(j == 1.0 for j in rows.values())
+
+
+def test_degree_entropy_hand_computed(spark, tmp_path):
+    """'a b a b a c': a's out-edges are b:2, c:1 → H = ln3 − (2·ln2)/3;
+    b's single out-neighbor (a:2) must give exactly 0; c has no
+    out-edges and must be absent."""
+    import math
+
+    from glre_spark.operators.graphops import kg_degree_entropy
+
+    _docs(spark, ["a b a b a c"], tmp_path)
+    rows = {r["entity"]: r for r in kg_degree_entropy(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    assert (a["w_total"], a["n_out"]) == (3, 2)
+    expect = round(
+        math.log(3) - round(1e6 * 2 * math.log(2)) / 1e6 / 3 + 1e-9, 4
+    )
+    assert a["entropy"] == expect
+    b = rows["b"]
+    assert (b["w_total"], b["n_out"]) == (2, 1)
+    assert b["entropy"] == 0.0

@@ -240,3 +240,24 @@ def test_neighbor_jaccard_no_cartesian(spark):
     plan = plan_of(fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_zipf_topk_is_heap_not_global_sort(spark):
+    """The corpus-sized stream must collapse in one map-side-combining
+    aggregation; the top-K must be TakeOrderedAndProject (per-partition
+    heaps); the single-partition Window may only run AFTER the limit,
+    where its input is bounded by K."""
+    import re
+
+    fn, _ = REGISTRY["vocab_topk_zipf"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    # the Window must consume the TAKE's output, never the raw freq
+    # table: in the top-down tree printout the Window line appears
+    # ABOVE (parent of) the TakeOrderedAndProject line
+    lines = plan.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l)
+    take = min(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    assert win < take

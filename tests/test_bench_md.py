@@ -39,6 +39,10 @@ headroom evidence THAT MUST SURVIVE
 ## numpy-kernel burn (noise evidence, not a denominator)
 
 burn range evidence
+
+## Head-domain skew probe (domain_stats aggregation shape)
+
+skew probe evidence THAT MUST SURVIVE
 """
 
 
@@ -53,11 +57,12 @@ def test_full_rewrite_preserves_marker_sections():
         "dup A/B evidence THAT MUST SURVIVE",
         "headroom evidence THAT MUST SURVIVE",
         "burn range evidence",
+        "skew probe evidence THAT MUST SURVIVE",
     ):
         assert merged.count(frag) == 1
     # no heading duplicated
     heads = bs._headings(merged)
-    assert len(heads) == len(set(heads)) == 5
+    assert len(heads) == len(set(heads)) == 6
 
 
 def test_preserve_is_noop_when_old_has_no_extras():

@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "kg_neighbor_jaccard",
     "kg_degree_entropy",
     "q3_shipping_priority",
+    "join_bucketed_colocated",
     "domain_stats_stream",
     "sample_frac",
     "sample_stratified",

@@ -261,3 +261,17 @@ def test_vocab_zipf_topk_is_heap_not_global_sort(spark):
     win = min(i for i, l in enumerate(lines) if "Window" in l)
     take = min(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
     assert win < take
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    """The co-located bucketed join must run the SortMergeJoin directly
+    over the two bucketed scans: the ONLY Exchange in the plan is the
+    final priority aggregation, and no Sort exists anywhere (bucket
+    sortBy metadata honored — one file per bucket by construction)."""
+    import re
+
+    fn, _ = REGISTRY["join_bucketed_colocated"]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 0

@@ -275,3 +275,43 @@ def test_bucketed_join_has_no_exchange_or_sort(spark):
     assert "SortMergeJoin" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session enables spark.sql.adaptive.skewJoin — prove it fires:
+    a 75%-hot key under a merge join with test-scale thresholds must
+    show SortMergeJoin(skew=true) in the FINALIZED adaptive plan (the
+    hot partition split across tasks) and still produce exactly one
+    output row per fact row. This is the automatic complement to
+    join_salted_skew's manual salting."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = big.hint("merge").join(small, "k").select(F.length("pad").alias("lp"))
+        rows = j.collect()  # finalize THIS DataFrame's adaptive plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert len(rows) == 400_000
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE did not split the hot partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

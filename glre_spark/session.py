@@ -28,10 +28,22 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the SparkSession.
 
-    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or nproc]``. When launched
-    via spark-submit the master is already set and ``.master`` is a no-op.
+    ``cores=None`` → honor a spark-submit-provided ``--master`` if one
+    exists (builder.master would silently OVERRIDE it — measured: two
+    spark-submit runs at local[4] and local[16] both actually ran
+    local[32] before this guard), else ``local[$SPARK_GRAFT_CPUS or
+    nproc]``. An explicit ``cores=`` always wins (tests and the bench
+    protocol pin their own level).
     """
+    # Under spark-submit the driver JVM (PythonRunner) already holds the
+    # --master conf and exposes its gateway via PYSPARK_GATEWAY_PORT; a
+    # fresh SparkConf() here CANNOT see it (it lives in the launcher's
+    # SparkConf, not in system properties), so the only correct move is
+    # to not call .master() at all and size shuffle partitions AFTER the
+    # session exists, from sc.defaultParallelism.
+    submitted = cores is None and bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
     cores = cores or default_parallelism()
+    shuffle_after = submitted and shuffle_partitions is None
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     # One BLAS thread per Python worker: N workers × multi-threaded
     # OpenBLAS/MKL oversubscribes the box quadratically and *anti*-scales
@@ -42,7 +54,6 @@ def get_spark(
         os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -69,8 +80,16 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
         )
     )
+    if not submitted:
+        builder = builder.master(f"local[{cores}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_after:
+        # size the shuffle to the ACTUAL submitted cluster width
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -92,3 +92,36 @@ def test_drop_near_dups_removes_duplicate_page(spark):
 
     key = lambda r: (r.subj, r.pred, r.obj, r.score, r.url, r.n_sources)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want)) and got
+
+
+def test_spark_submit_master_is_honored(tmp_path):
+    """get_spark must NOT override spark-submit's --master (r6: an
+    unconditional builder.master() pinned every CLI run to local[nproc],
+    silently defeating the two-cluster-size protocol). Launch a real
+    spark-submit at local[3] and assert the session sees it."""
+    import subprocess
+    import sys
+    import textwrap
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        textwrap.dedent(
+            """
+            from glre_spark.session import get_spark
+            s = get_spark("master_probe")
+            print("MASTER=", s.sparkContext.master,
+                  "SHUFFLE=", s.conf.get("spark.sql.shuffle.partitions"))
+            """
+        )
+    )
+    import os
+
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[3]", str(probe)],
+        capture_output=True, text=True, timeout=180, cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("MASTER=")]
+    assert line, out.stdout + out.stderr[-2000:]
+    assert "local[3]" in line[0]
+    assert "SHUFFLE= 8" in line[0]  # max(3 cores, 8) sized post-startup

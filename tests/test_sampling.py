@@ -125,3 +125,52 @@ def test_vocab_zipf_invariants(spark):
         .count()
     )
     assert run <= total
+
+
+def test_gopher_rules_edge_corpus(spark, tmp_path):
+    """Adversarial inputs the synthetic corpus never produces: empty
+    text, single char, all-stopwords, unicode letters (must NOT count
+    as [A-Za-z]-alphabetic), a 3-chars-per-token boundary doc (mean
+    word length exactly 3.0 → rule inclusive-true), and a giant token.
+    Spark result must equal a character-exact Python mirror."""
+    import re as _re
+
+    texts = [
+        "",                       # split(' ') → [''] : n=1, sum_len=0
+        "a",
+        "the the the the",        # all stopwords, n_stop=4
+        "ü ü ü",   # ü: alphabetic in unicode, NOT in [A-Za-z]
+        " ".join(["abc"] * 50),   # n=50 (boundary), mean exactly 3.0
+        "x" * 5000,               # one giant token
+        " lead",                  # leading space → empty first token
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["filter_gopher_rules"][0](spark, str(tmp_path)).collect()
+    }
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        n = len(w)
+        sum_len = sum(len(x) for x in w)
+        n_alpha = sum(1 for x in w if _re.search("[A-Za-z]", x))
+        n_stop = sum(1 for x in w if x in stop)
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["mean_wl_x100"] == 100 * sum_len // n
+        assert r["r_ntok"] == (50 <= n <= 100000)
+        assert r["r_wordlen"] == (3 * n <= sum_len <= 10 * n)
+        assert r["r_alpha"] == (5 * n_alpha >= 4 * n)
+        assert r["r_stop"] == (n_stop >= 2)
+    # the boundary doc: exactly 50 tokens of length 3 → both rules true
+    b = out[4]
+    assert b["r_ntok"] and b["r_wordlen"] and b["mean_wl_x100"] == 300
+    # unicode letters are NOT [A-Za-z]: r_alpha must be False
+    assert out[3]["r_alpha"] is False

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "join_bucketed_colocated",
     "domain_stats_stream",
     "sample_frac",
+    "agg_percentiles",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

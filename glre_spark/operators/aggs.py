@@ -167,3 +167,48 @@ def agg_pivot(spark, sf_dir):
 )
 def agg_distinct_rows(spark, sf_dir):
     return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@op(
+    "agg_percentiles",
+    # Exact interpolated quantiles agree bit-for-bit across engines
+    # (verified: Spark `percentile` and DuckDB `quantile_cont` implement
+    # the same linear interpolation); the approximate estimators are
+    # engine-specific sketches, so each engine referees ITS OWN estimate
+    # against its own exact value (the agg_approx_distinct pattern).
+    """SELECT ROUND(q[1] + 1e-9, 4) + 0 AS p50,
+              ROUND(q[2] + 1e-9, 4) + 0 AS p90,
+              ROUND(q[3] + 1e-9, 4) + 0 AS p99,
+              abs(a50 - q[1]) <= 0.05 * q[1] AS p50_within,
+              abs(a90 - q[2]) <= 0.05 * q[2] AS p90_within,
+              abs(a99 - q[3]) <= 0.05 * q[3] AS p99_within
+       FROM (SELECT quantile_cont(length(text), [0.5, 0.9, 0.99]) AS q,
+                    approx_quantile(length(text), 0.5) AS a50,
+                    approx_quantile(length(text), 0.9) AS a90,
+                    approx_quantile(length(text), 0.99) AS a99
+             FROM documents)""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Doc-length percentiles — the aggregate a filtering pipeline runs
+    to PICK its length thresholds before hard-coding them. Production
+    path at 10^12 docs is percentile_approx (a mergeable sketch, one
+    pass, map-side combinable); the exact interpolated percentile exists
+    to referee it at test scale, and the hashed surface is (exact
+    quantiles + each engine's own within-5% verdicts)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.length("text").cast("double").alias("n")
+    )
+    agg = docs.agg(
+        F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("q"),
+        F.expr("percentile_approx(n, array(0.5, 0.9, 0.99), 10000)").alias("a"),
+    )
+    q = lambda i: F.col("q").getItem(i)  # noqa: E731
+    a = lambda i: F.col("a").getItem(i)  # noqa: E731
+    return agg.select(
+        fround(q(0), 4).alias("p50"),
+        fround(q(1), 4).alias("p90"),
+        fround(q(2), 4).alias("p99"),
+        (F.abs(a(0) - q(0)) <= 0.05 * q(0)).alias("p50_within"),
+        (F.abs(a(1) - q(1)) <= 0.05 * q(1)).alias("p90_within"),
+        (F.abs(a(2) - q(2)) <= 0.05 * q(2)).alias("p99_within"),
+    )

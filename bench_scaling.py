@@ -185,10 +185,14 @@ def _preserve_extra_sections(new_md: str, old_md: str) -> str:
     a full `main()` rewrite silently deletes them (VERDICT r5 wrong #1)."""
     new_heads = set(_headings(new_md))
     out = new_md if new_md.endswith("\n") else new_md + "\n"
+    carried: set[str] = set()
     for head in _headings(old_md):
-        if head in new_heads:
-            continue
-        start = old_md.index(head)
+        if head in new_heads or head in carried:
+            continue  # template-owned, or a duplicated heading: carry once
+        carried.add(head)
+        # anchor to a LINE START — a raw index() would match the heading
+        # text quoted mid-paragraph and carry a garbled slice
+        start = 0 if old_md.startswith(head) else old_md.index("\n" + head) + 1
         nxt = old_md.find("\n## ", start + len(head))
         section = old_md[start:] if nxt == -1 else old_md[start : nxt + 1]
         out += "\n" + section
@@ -355,6 +359,9 @@ def main() -> int:
                          "its BENCH/BASELINE.md section")
     ap.add_argument("--domain-skew-only", action="store_true",
                     help="run the domain_stats hot-key probe and update its section")
+    ap.add_argument("--skew-rows", type=int, default=100_000_000,
+                    help="row count for --domain-skew-only (its own knob — "
+                         "the --n-docs default trap dup-bench hit in r5)")
     ap.add_argument("--dup-bench-only", action="store_true",
                     help="run the duplicate-heavy drop_near_dups A/B and "
                          "update its BENCH/BASELINE.md section")
@@ -371,7 +378,7 @@ def main() -> int:
     if args.memory_headroom_only:
         return memory_headroom_report(args.n_docs)
     if args.domain_skew_only:
-        return domain_skew_report()
+        return domain_skew_report(args.skew_rows)
     if args.dup_bench_only:
         return dup_bench_report(args.dup_docs)
 

@@ -134,8 +134,8 @@ nodes AS MATERIALIZED (SELECT src AS entity FROM edges
                        UNION SELECT dst FROM edges),
 wout AS MATERIALIZED (SELECT src, CAST(SUM(weight) AS BIGINT) AS w_out
                       FROM edges GROUP BY src),
-consts AS (SELECT CAST({_PR_SCALE} // COUNT(*) AS BIGINT) AS r0,
-                  CAST(({_PR_SCALE} // COUNT(*)) * 15 // 100 AS BIGINT) AS base
+consts AS (SELECT CAST({_PR_SCALE} // NULLIF(COUNT(*), 0) AS BIGINT) AS r0,
+                  CAST(({_PR_SCALE} // NULLIF(COUNT(*), 0)) * 15 // 100 AS BIGINT) AS base
            FROM nodes),
 r0 AS (SELECT entity, r0 AS rank FROM nodes CROSS JOIN consts),
 {",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))}
@@ -163,6 +163,11 @@ def kg_pagerank(spark, sf_dir):
     )
     wout = e.groupBy("src").agg(F.sum("weight").alias("w_out"))
     n = nodes.count()  # driver-sized scalar (vocab count), like K centroids
+    if n == 0:
+        # degenerate corpus (no doc has 2+ tokens): empty ranks, matching
+        # the oracle (whose NULLIF keeps the consts CTE from dividing by
+        # zero; zero nodes join to zero rows either way)
+        return nodes.select("entity", F.lit(0).cast("bigint").alias("rank"))
     r_init, base = _PR_SCALE // n, (_PR_SCALE // n) * 15 // 100
     rank = nodes.select("entity", F.lit(r_init).cast("bigint").alias("rank"))
     for _ in range(_PR_ITERS):

@@ -263,27 +263,13 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
-@op(
-    "join_bucketed_colocated",
-    """SELECT o.o_orderpriority,
-              CAST(COUNT(*) AS BIGINT) AS n_lines,
-              CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_price_c
-       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       GROUP BY o.o_orderpriority""",
-)
-def join_bucketed_colocated(spark, sf_dir):
-    """The exchange-free co-located join (the brief's 'bucketing for
-    co-located joins', demonstrated rather than claimed): both fact
-    tables are (re)materialized as 8-bucket tables hashed AND sorted on
-    the join key — repartition(8, key) first so every bucket lands in
-    exactly ONE file, which is the precondition for the reader to trust
-    the sortBy metadata — then the merge-hinted join runs with ZERO
-    Exchange and ZERO Sort below it (plan-asserted in test_plans). At
-    10^12 docs this is the shape for any repeatedly-joined fact pair:
-    pay the bucketed write once, join shuffle-free forever after. The
-    session catalog is in-memory, so the tables are rebuilt per session
-    (idempotent overwrite into the gitignored spark-warehouse)."""
+def bucketed_join_df(spark, sf_dir):
+    """Build (lazily) the co-located bucketed join: (re)materialize both
+    sides as 8-bucket sortBy tables — repartition(8, key) first so every
+    bucket lands in exactly ONE file, the precondition for the reader to
+    trust the sortBy metadata — and return the merge-hinted join + agg.
+    Caller owns the spark.sql.legacy.bucketedTableScan.outputOrdering
+    flag (needed at PLAN time for the zero-Sort read)."""
     import hashlib
     import shutil
 
@@ -296,11 +282,6 @@ def join_bucketed_colocated(spark, sf_dir):
     for t in (to, tl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    # since 3.0 Spark only trusts bucket sortBy metadata behind this
-    # read-path flag (and only when each bucket is exactly one file —
-    # guaranteed by the repartition(8, key) above); with it the SMJ runs
-    # directly over the two scans: zero Exchange AND zero Sort
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
@@ -326,3 +307,38 @@ def join_bucketed_colocated(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("sum_price_c"),
     )
+
+
+_BUCKET_SCAN_FLAG = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+
+@op(
+    "join_bucketed_colocated",
+    """SELECT o.o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_c
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority""",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """The exchange-free co-located join (the brief's 'bucketing for
+    co-located joins', demonstrated rather than claimed): pay the
+    bucketed write once, join shuffle-free forever after — the shape for
+    any repeatedly-joined fact pair at 10^12 docs. Since 3.0 Spark only
+    trusts bucket sortBy metadata behind a read-path flag; the op sets
+    it, EXECUTES the join under it (localCheckpoint), and restores the
+    session's prior value so nothing leaks to later ops (plan shape —
+    zero Exchange and zero Sort below the SortMergeJoin — is asserted in
+    test_plans via bucketed_join_df, which the caller flags itself)."""
+    old = spark.conf.get(_BUCKET_SCAN_FLAG, None)
+    spark.conf.set(_BUCKET_SCAN_FLAG, "true")
+    try:
+        # execute NOW, while the flag is set (5 result rows) — the
+        # returned DataFrame is detached from the flag and the tables
+        return bucketed_join_df(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(_BUCKET_SCAN_FLAG)
+        else:
+            spark.conf.set(_BUCKET_SCAN_FLAG, old)

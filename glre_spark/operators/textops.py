@@ -213,7 +213,11 @@ def json_fns(spark, sf_dir):
 # Training-data text analysis (documents table)
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+# ONE Python source of truth for the stopword set: rendered into every
+# DuckDB twin via _STOPWORDS and splatted into every Spark isin() —
+# desynchronizing the two sides is impossible by construction.
+STOPWORD_LIST = ("the", "a", "of", "and", "to", "in", "is")
+_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in STOPWORD_LIST) + ")"
 
 
 @op(
@@ -246,7 +250,7 @@ def text_token_count(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
-    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORD_LIST)))
     ratio = fround(stop.cast("double") / F.size(toks), 4)
     quality = fround(
         F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
@@ -274,7 +278,7 @@ def text_langid(spark, sf_dir):
     """Stopword-density language-ID heuristic (the real corpus carries a
     lang column; this is the detector for when it doesn't)."""
     toks = F.split(F.col("text"), " ")
-    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORD_LIST)))
     pred = F.when(stop.cast("double") / F.size(toks) > 0.02, "en").otherwise("other")
     return load(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred")
@@ -638,8 +642,6 @@ def url_normalize_dedup(spark, sf_dir):
         F.col("path"),
         F.when(F.col("keep_q") == "", "").otherwise(F.concat(F.lit("?"), F.col("keep_q"))),
     )
-    from pyspark.sql import Window
-
     win = Window.partitionBy("canon_url")
     return (
         d.select("doc_id", "url", canon.alias("canon_url"))
@@ -855,7 +857,7 @@ def sample_stratified(spark, sf_dir):
     RNG can give none of those guarantees."""
     toks = F.split(F.col("text"), " ")
     stop = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))
+        F.filter(toks, lambda t: t.isin(*STOPWORD_LIST))
     )
     quality = (
         F.least(F.length("text") / 500.0, F.lit(1.0)) * 0.5
@@ -993,7 +995,7 @@ def filter_gopher_rules(spark, sf_dir):
     )
     n_alpha = F.size(F.filter("w", lambda t: t.rlike("[A-Za-z]"))).cast("long")
     n_stop = F.size(
-        F.filter("w", lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))
+        F.filter("w", lambda t: t.isin(*STOPWORD_LIST))
     ).cast("long")
     m = d.select(
         "doc_id",

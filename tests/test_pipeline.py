@@ -116,10 +116,11 @@ def test_spark_submit_master_is_honored(tmp_path):
     )
     import os
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         ["spark-submit", "--master", "local[3]", str(probe)],
-        capture_output=True, text=True, timeout=180, cwd="/root/repo",
-        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        capture_output=True, text=True, timeout=180, cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("MASTER=")]
     assert line, out.stdout + out.stderr[-2000:]

@@ -270,11 +270,23 @@ def test_bucketed_join_has_no_exchange_or_sort(spark):
     sortBy metadata honored — one file per bucket by construction)."""
     import re
 
-    fn, _ = REGISTRY["join_bucketed_colocated"]
-    plan = plan_of(fn(spark, SF_DIR))
+    from glre_spark.operators.joins import _BUCKET_SCAN_FLAG, bucketed_join_df
+
+    old = spark.conf.get(_BUCKET_SCAN_FLAG, None)
+    spark.conf.set(_BUCKET_SCAN_FLAG, "true")
+    try:
+        plan = plan_of(bucketed_join_df(spark, SF_DIR))
+    finally:
+        spark.conf.unset(_BUCKET_SCAN_FLAG) if old is None else spark.conf.set(
+            _BUCKET_SCAN_FLAG, old
+        )
     assert "SortMergeJoin" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 0
+    # and the op itself must not leak the flag into the shared session
+    fn, _ = REGISTRY["join_bucketed_colocated"]
+    fn(spark, SF_DIR)
+    assert spark.conf.get(_BUCKET_SCAN_FLAG, None) == old
 
 
 def test_aqe_splits_skewed_join_partition(spark):

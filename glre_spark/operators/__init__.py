@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "domain_stats_stream",
     "sample_frac",
     "agg_percentiles",
+    "scan_partition_pruned",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

@@ -107,3 +107,39 @@ def filter_len(spark, sf_dir):
         .filter(F.length("text").between(1, 300))
         .select("doc_id", F.length("text").cast("bigint").alias("text_len"))
     )
+
+
+def lang_partitioned_path(spark, sf_dir):
+    """Stage the documents table as a lang-PARTITIONED parquet layout
+    (idempotent overwrite under the gitignored spark-warehouse dir) and
+    return its path. At 10^12 docs this is the ingest-side layout
+    decision that makes every per-language job read 1/Nth of the data —
+    the pruning is free once the layout exists."""
+    import hashlib
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{wh}/docs_by_lang_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load(spark, sf_dir, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+@op(
+    "scan_partition_pruned",
+    """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Partition pruning, demonstrated rather than cited: the documents
+    table staged as a lang-partitioned layout, then a lang='en' filter
+    that must resolve at PLANNING time — PartitionFilters on the scan,
+    zero rows read from the other four language directories, text never
+    in the ReadSchema (both plan-asserted in test_plans). The twin is
+    the plain filter over the unpartitioned view: identical rows either
+    way, the layout only changes what gets READ."""
+    path = lang_partitioned_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )

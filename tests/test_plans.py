@@ -327,3 +327,16 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruning_resolves_at_plan_time(spark):
+    """scan_partition_pruned: the lang filter must land in the scan's
+    PartitionFilters (directory-level pruning — the other four language
+    partitions are never opened), and the pruned scan must not read the
+    text column."""
+    fn, _ = REGISTRY["scan_partition_pruned"]
+    plan = plan_of(fn(spark, SF_DIR))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0] and "= en" in pf[0], pf
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in rs and "doc_id" in rs

@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "sample_frac",
     "agg_percentiles",
     "scan_partition_pruned",
+    "scan_dynamic_pruned",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

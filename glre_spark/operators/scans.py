@@ -143,3 +143,31 @@ def scan_partition_pruned(spark, sf_dir):
         .filter(F.col("lang") == "en")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@op(
+    "scan_dynamic_pruned",
+    """WITH dim(lang, priority) AS (
+         VALUES ('en', 1), ('fr', 2), ('de', 0), ('es', 0), ('zh', 0))
+       SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents d JOIN dim ON dim.lang = d.lang AND dim.priority > 0
+       GROUP BY d.lang""",
+)
+def scan_dynamic_pruned(spark, sf_dir):
+    """DYNAMIC partition pruning: the languages to read are only known
+    after filtering a dimension table, so no static PartitionFilter can
+    exist — Catalyst instead injects a dynamicpruningexpression into the
+    partitioned scan (plan-asserted), and the fact side still skips the
+    excluded language directories at runtime. This is the 100-TB shape
+    for 'process the partitions some control table selects': the
+    selection changes per run, the layout does the skipping."""
+    docs = spark.read.parquet(lang_partitioned_path(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [("en", 1), ("fr", 2), ("de", 0), ("es", 0), ("zh", 0)],
+        "lang string, priority int",
+    )
+    return (
+        docs.join(F.broadcast(dim.filter(F.col("priority") > 0)), "lang")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -340,3 +340,14 @@ def test_partition_pruning_resolves_at_plan_time(spark):
     assert pf and "lang" in pf[0] and "= en" in pf[0], pf
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in rs and "doc_id" in rs
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """scan_dynamic_pruned: with the language set only known after
+    filtering the dim, the partitioned scan must carry a
+    dynamicpruningexpression (no static filter can exist) — runtime
+    directory skipping through the join."""
+    fn, _ = REGISTRY["scan_dynamic_pruned"]
+    plan = plan_of(fn(spark, SF_DIR))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0].lower(), pf

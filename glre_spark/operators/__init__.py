@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "agg_percentiles",
     "scan_partition_pruned",
     "scan_dynamic_pruned",
+    "scan_nested_pruned",
     "sample_stratified",
     "domain_stats",
     "kg_cooccur_edges",

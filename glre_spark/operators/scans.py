@@ -171,3 +171,37 @@ def scan_dynamic_pruned(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+@op(
+    "scan_nested_pruned",
+    """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_meta
+       FROM documents""",
+)
+def scan_nested_pruned(spark, sf_dir):
+    """Nested schema pruning: documents staged with a fat struct column
+    (lang + source + full text inside one struct), then only two leaf
+    fields selected — the scan's ReadSchema must contain ONLY those
+    leaves (struct<lang, n_chars> — the fat text leaf never read;
+    plan-asserted). At 100 TB this is what makes metadata-only passes
+    over struct-typed lakes cheap: Parquet's columnar layout serves
+    individual struct leaves, but only if the plan asks for leaves
+    instead of whole structs."""
+    import hashlib
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{wh}/docs_nested_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang"),
+            F.col("source"),
+            F.col("text"),
+            F.length("text").cast("bigint").alias("n_chars_meta"),
+        ).alias("meta"),
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars_meta").alias("n_chars_meta"),
+    )

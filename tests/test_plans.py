@@ -351,3 +351,14 @@ def test_dynamic_partition_pruning_fires(spark):
     plan = plan_of(fn(spark, SF_DIR))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "dynamicpruning" in pf[0].lower(), pf
+
+
+def test_nested_schema_pruning_reads_only_leaves(spark):
+    """scan_nested_pruned: selecting two leaves of a fat struct must
+    prune the scan to exactly those leaves — the full text leaf inside
+    the same struct is never read."""
+    fn, _ = REGISTRY["scan_nested_pruned"]
+    plan = plan_of(fn(spark, SF_DIR))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" in rs and "n_chars_meta" in rs
+    assert "text" not in rs and "source" not in rs

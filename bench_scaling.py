@@ -586,10 +586,13 @@ relational sessions took its bests to 0.810; and a final ALL-JOBS
 session — the round's quietest (ceiling 0.959) — moved bests in BOTH
 min-merge directions (flagship N 46.84 → 45.11 s, lowering that ratio
 0.939 → 0.904; relational 4N 3.61 → 3.28 s and sigscan both levels,
-raising theirs). Settled books: flagship **0.904**, relational
-**0.893**, sigscan **0.943** raw — every job clears the 0.8 target on
-raw numbers, no ceiling normalization needed, and every eff/ceiling
-sits below 1.0 on the same-session ceiling. An eff/ceiling column
+raising theirs). An eighth (final) all-jobs session — quieter
+still — improved BOTH levels of every job at once. Settled books:
+flagship **0.939** (N 44.11 / 4N 11.74 s), relational **0.903**
+(N 11.53 / 4N 3.19 s), sigscan **0.953** (N 41.87 / 4N 10.98 s) raw —
+every job clears the 0.8 target on raw numbers, no ceiling
+normalization needed, and every eff/ceiling sits at 0.92-0.97 of the
+same-session ceiling. An eff/ceiling column
 exceeding 1.0 is the min-merge combining best-ever walls from different
 sessions than the one whose ceiling is quoted — read the raw numbers
 against the 0.67-0.88 ceiling band, not the point estimate.

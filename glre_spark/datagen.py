@@ -275,12 +275,17 @@ def pages_df(
 
 
 def pages_from_docs(
-    docs, id_col: str = "doc_id", partitions: int = 16,
+    docs, id_col: str = "doc_id", partitions: int | None = None,
     seed: int = 42, sent_range: tuple[int, int] = (2, 8),
 ):
     """Synthesize the north-rule pages table 1:1 from a doc-id DataFrame
     (shared by the driver entry, the glre_* ops, and the UDF-surface ops —
-    one generator, identical corpus everywhere)."""
+    one generator, identical corpus everywhere).
+
+    ``partitions=None`` sizes the Python-heavy gen stage to the cluster:
+    tasks-per-core >= 2 (the BENCH/BASELINE.md rev-3 rule for CPU-per-row
+    stages), replacing the former constant 16 that under-fanned wide
+    masters. Explicit callers (driver entry, tests) still pin their own."""
     import pandas as pd
 
     def gen(batches):
@@ -288,6 +293,8 @@ def pages_from_docs(
             rows = [gen_page_row(int(i), seed, sent_range) for i in pdf[id_col]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
+    if partitions is None:
+        partitions = max(16, 2 * docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(id_col).repartition(partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from glre_spark.operators import fround, load, op
+from glre_spark.operators import fan_out, fround, load, op
 
 # Shared DuckDB front-end: documents → adjacent-pair edges with counts.
 # DuckDB lists are 1-indexed; range(1, L) = 1..L-1, so ts[i] → ts[i+1]
@@ -59,7 +59,7 @@ def cooccur_edges(docs):
         "             element_at(toks, CAST(i AS INT) + 1) AS dst))"
     )
     return (
-        docs.select(toks.alias("toks"))
+        fan_out(docs.select(toks.alias("toks")))
         .filter(F.size("toks") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.src", "p.dst")
@@ -162,6 +162,16 @@ def kg_pagerank(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     wout = e.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    # loop-invariant: the per-edge (weight, w_out) pair never changes
+    # across rounds — annotate the edge relation once and checkpoint,
+    # instead of re-running the edges⋈wout join in all 5 iterations
+    # (edge-sized output; the materialized "adjacency with out-degree"
+    # table every real PageRank keeps)
+    e_w = (
+        e.join(wout, "src")
+        .select("src", "dst", "weight", "w_out")
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()  # driver-sized scalar (vocab count), like K centroids
     if n == 0:
         # degenerate corpus (no doc has 2+ tokens): empty ranks, matching
@@ -172,8 +182,7 @@ def kg_pagerank(spark, sf_dir):
     rank = nodes.select("entity", F.lit(r_init).cast("bigint").alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
-            e.join(rank, rank.entity == e.src)
-            .join(wout, "src")
+            e_w.join(rank, rank.entity == F.col("src"))
             .select(
                 F.col("dst").alias("entity"),
                 F.expr("((rank * 85) div 100) * weight div w_out").alias("c"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from glre_spark.operators import fround, load, op
+from glre_spark.operators import fan_out, fround, load, op
 
 # ---------------------------------------------------------------------------
 # Entity linking: broadcast alias-dictionary join (link_alias_broadcast)
@@ -147,7 +147,9 @@ def _sig_of(docs):
 
 
 def _sig_df(spark, sf_dir):
-    return _sig_of(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # fan_out: the signature expression is the family's CPU wall; a
+    # single-row-group scan would otherwise run it on 1-2 tasks
+    return _sig_of(fan_out(load(spark, sf_dir, "documents").select("doc_id", "text")))
 
 
 @op("minhash_sig", "WITH " + _SIG_CTE + " SELECT * FROM sig")
@@ -479,7 +481,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     of 3-char strings: ~2.5× less shuffle through the pair join, identical
     set sizes (64-bit hash is injective on a trigram vocabulary whp); the
     oracle intersects the string sets directly."""
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id",
         F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
     )
@@ -555,7 +557,7 @@ def dedup_keeper_table(spark, sf_dir):
     sizes whp), so no rounding convention is needed."""
     from glre_spark.linking import connected_components
 
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id",
         F.transform(_shingle_col(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
     )
@@ -618,7 +620,7 @@ def near_dup_keepers(
     is a materialized table with a key guarantee, pass False."""
     from glre_spark.linking import connected_components
 
-    docs = docs.select("doc_id", "text")
+    docs = fan_out(docs.select("doc_id", "text"))
     if check_ids:
         dup = (
             docs.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -826,7 +828,7 @@ def ann_cosine_topk(spark, sf_dir):
     zip_with + aggregate (JVM-side higher-order fns, no UDF)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
-    joined = emb.filter("vec_id <> 0").crossJoin(F.broadcast(q))
+    joined = fan_out(emb.filter("vec_id <> 0")).crossJoin(F.broadcast(q))
 
     def dot(a, b):
         return F.aggregate(
@@ -914,7 +916,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     """Sign-random-projection bucketing of embeddings (seeded hyperplanes)
     — the scale path: ANN candidates only within a bucket."""
     return (
-        load(spark, sf_dir, "embeddings")
+        fan_out(load(spark, sf_dir, "embeddings"))
         .groupBy(_bucket_col(_BUCKET_PLANES).alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
     )
@@ -963,7 +965,7 @@ def ann_lsh_topk(spark, sf_dir):
     Recall vs the ann_cosine_topk brute force is asserted ≥ 0.8 in
     tests/test_ann.py."""
     emb = load(spark, sf_dir, "embeddings")
-    buckets = emb.select(
+    buckets = fan_out(emb).select(
         "vec_id",
         F.posexplode(
             F.array(*[_bucket_col(_topk_table_planes(t)) for t in range(_LSH_L)])
@@ -1063,7 +1065,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     (1 − θ/π)³ ≈ 0.25 → ≈0.9 recall over the 8 tables (same plane family
     as ann_lsh_topk)."""
     emb = load(spark, sf_dir, "embeddings")
-    buckets = emb.select(
+    buckets = fan_out(emb).select(
         "vec_id",
         F.posexplode(
             F.array(*[_bucket_col(_topk_table_planes(t)) for t in range(_LSH_L)])
@@ -1206,7 +1208,7 @@ def ann_ivf_topk(spark, sf_dir):
             ]
         )
     )
-    assigned = emb.withColumn("cluster", -best["nc"])
+    assigned = fan_out(emb).withColumn("cluster", -best["nc"])
 
     # the query's probe set, same exact integer rule, computed once
     qv = [
@@ -1317,7 +1319,7 @@ def simhash_dedup(spark, sf_dir):
                 out.append((int(doc_id), sh))
             yield pd.DataFrame(out, columns=["doc_id", "simhash"])
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sims = docs.mapInPandas(sim_batch, "doc_id long, simhash long")
     return (
         sims.groupBy("simhash")

@@ -16,8 +16,15 @@ from glre_spark.operators import fround, load, op
 
 def _media_df(spark, sf_dir, gen_fn, schema="doc_id long, media binary"):
     """doc_ids → (doc_id, media binary) via mapInPandas: the binary column
-    crosses the Arrow boundary exactly like real blob columns would."""
-    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    crosses the Arrow boundary exactly like real blob columns would.
+
+    Python-heavy stage sizing: tasks-per-core >= 2 (BENCH/BASELINE.md rev-3
+    rule), derived from the cluster width instead of the former constant 8
+    that serialized the decode stage on wide masters."""
+    para = spark.sparkContext.defaultParallelism
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id").repartition(max(8, 2 * para))
+    )
 
     def gen(batches):
         for pdf in batches:

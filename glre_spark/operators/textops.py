@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from glre_spark.operators import fround, load, op
+from glre_spark.operators import fan_out, fround, load, op
 
 
 @op(
@@ -298,7 +298,9 @@ def text_fingerprint(spark, sf_dir):
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
     )
-    return load(spark, sf_dir, "documents").select("doc_id", fp.alias("fingerprint"))
+    return fan_out(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", fp.alias("fingerprint")
+    )
 
 
 # --- r5: PII scrubbing + benchmark decontamination (training-pipeline ops)
@@ -984,7 +986,7 @@ def filter_gopher_rules(spark, sf_dir):
     scans over built-ins — an embarrassingly-parallel map with ZERO
     shuffles at any corpus size; thresholds compare cross-multiplied
     integers, never a float ratio."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     w = F.split(F.col("text"), " ")
     d = docs.select("doc_id", w.alias("w"))
     n = F.size("w").cast("long")

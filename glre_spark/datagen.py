@@ -137,8 +137,17 @@ def _rng(seed: int, doc_id: int) -> random.Random:
     return random.Random(int.from_bytes(h[:8], "big"))
 
 
+_POOLS: dict[str, list[str]] = {}
+
+
 def _pick(rng: random.Random, typ: str) -> str:
-    pool = [n for n, t, _ in ENTITIES if t == typ]
+    # pool per type cached once: rebuilding the ~360-entry comprehension on
+    # every pick was ~85% of gen_page_row (measured 628 -> 95 us/doc);
+    # list order is unchanged so the RNG stream and output bytes are
+    # identical
+    pool = _POOLS.get(typ)
+    if pool is None:
+        pool = _POOLS[typ] = [n for n, t, _ in ENTITIES if t == typ]
     return pool[rng.randrange(len(pool))]
 
 
@@ -282,10 +291,13 @@ def pages_from_docs(
     (shared by the driver entry, the glre_* ops, and the UDF-surface ops —
     one generator, identical corpus everywhere).
 
-    ``partitions=None`` sizes the Python-heavy gen stage to the cluster:
-    tasks-per-core >= 2 (the BENCH/BASELINE.md rev-3 rule for CPU-per-row
-    stages), replacing the former constant 16 that under-fanned wide
-    masters. Explicit callers (driver entry, tests) still pin their own."""
+    ``partitions=None`` sizes the gen stage to the cluster width,
+    replacing the former constant 16 that under-fanned wide masters.
+    1x defaultParallelism, not the 2x rule for CPU-per-row stages: after
+    the _pick pool-cache fix the gen is ~70 us/doc, so Python-worker task
+    dispatch (~20 ms/task) dominates and fewer, fuller tasks win
+    (measured sf1.0: 0.67 s at 32 tasks vs 1.08 s at 64 on local[32]).
+    Explicit callers (driver entry, tests) still pin their own."""
     import pandas as pd
 
     def gen(batches):
@@ -294,7 +306,7 @@ def pages_from_docs(
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     if partitions is None:
-        partitions = max(16, 2 * docs.sparkSession.sparkContext.defaultParallelism)
+        partitions = max(16, docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(id_col).repartition(partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 

@@ -147,7 +147,14 @@ def kg_pagerank(spark, sf_dir):
     arithmetic (scale 1e12, floor division) — deterministic across
     engines, partitionings, and summation orders, unlike float PageRank.
     Dangling mass is dropped, not redistributed (documented choice; both
-    engines agree). The iteration runs on the AGGREGATED vocab-bounded
+    engines agree). Overflow bound (ADVICE r6): the contribution term
+    multiplies a damped rank (≤ 0.85·1e12) by a raw edge weight before
+    the w_out division, so an edge with weight beyond ~1e7 hitting a
+    high-rank source would overflow int64 and fail the job identically
+    in both ANSI engines (no silent wrong answer). That admits total
+    corpus co-occurrence counts ~10^7 per ordered pair — raise the
+    fixed-point scale down (or widen to DECIMAL in both twins) past it.
+    The iteration runs on the AGGREGATED vocab-bounded
     graph — at 100 TB the stream→edges groupBy is the only corpus-sized
     stage; each round is then a join on the (small) edge relation, and a
     real deployment would checkpoint every few rounds to cut lineage
@@ -166,7 +173,9 @@ def kg_pagerank(spark, sf_dir):
     # across rounds — annotate the edge relation once and checkpoint,
     # instead of re-running the edges⋈wout join in all 5 iterations
     # (edge-sized output; the materialized "adjacency with out-degree"
-    # table every real PageRank keeps)
+    # table every real PageRank keeps). Pre-hash-partitioning nodes/e_w on
+    # the join keys (Pregel-style) was also tried and measured wall-neutral
+    # here: Catalyst broadcasts the node-sized loop relations anyway.
     e_w = (
         e.join(wout, "src")
         .select("src", "dst", "weight", "w_out")

@@ -109,20 +109,51 @@ def filter_len(spark, sf_dir):
     )
 
 
-def lang_partitioned_path(spark, sf_dir):
-    """Stage the documents table as a lang-PARTITIONED parquet layout
-    (idempotent overwrite under the gitignored spark-warehouse dir) and
-    return its path. At 10^12 docs this is the ingest-side layout
-    decision that makes every per-language job read 1/Nth of the data —
-    the pruning is free once the layout exists."""
+def _staging_path(spark, sf_dir, name: str) -> str:
+    """Warehouse staging dir keyed on (op name, input fingerprint).
+
+    The op name keeps each staging op in its OWN directory — r6 shipped
+    both pruning ops overwriting one shared dir, so building one op's
+    DataFrame deleted the part files the other op's live scan still
+    listed (FAILED_READ_FILE on collect; ADVICE r6 #1). The fingerprint
+    (file names/sizes/mtimes) makes the path content-addressed: an
+    unchanged input reuses the staged layout, an overwritten
+    documents.parquet lands in a fresh dir instead of invalidating any
+    live reader of the old one."""
     import hashlib
 
+    from glre_spark.operators.kgops import _input_fingerprint
+
+    key = hashlib.md5(
+        repr((sf_dir, _input_fingerprint(sf_dir))).encode()
+    ).hexdigest()[:12]
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = f"{wh}/docs_by_lang_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    load(spark, sf_dir, "documents").write.partitionBy("lang").mode(
-        "overwrite"
-    ).parquet(path)
+    return f"{wh}/{name}_{key}"
+
+
+def _ensure_staged(path: str, write_fn) -> str:
+    """Run the staging write only when the layout is not already there
+    (the _SUCCESS marker gates a complete committed write)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_fn(path)
     return path
+
+
+def lang_partitioned_path(spark, sf_dir, name: str = "docs_by_lang"):
+    """Stage the documents table as a lang-PARTITIONED parquet layout
+    (under the gitignored spark-warehouse dir) and return its path. At
+    10^12 docs this is the ingest-side layout decision that makes every
+    per-language job read 1/Nth of the data — the pruning is free once
+    the layout exists."""
+    return _ensure_staged(
+        _staging_path(spark, sf_dir, name),
+        lambda p: load(spark, sf_dir, "documents")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .parquet(p),
+    )
 
 
 @op(
@@ -137,7 +168,7 @@ def scan_partition_pruned(spark, sf_dir):
     in the ReadSchema (both plan-asserted in test_plans). The twin is
     the plain filter over the unpartitioned view: identical rows either
     way, the layout only changes what gets READ."""
-    path = lang_partitioned_path(spark, sf_dir)
+    path = lang_partitioned_path(spark, sf_dir, name="docs_by_lang_pp")
     return (
         spark.read.parquet(path)
         .filter(F.col("lang") == "en")
@@ -161,7 +192,9 @@ def scan_dynamic_pruned(spark, sf_dir):
     excluded language directories at runtime. This is the 100-TB shape
     for 'process the partitions some control table selects': the
     selection changes per run, the layout does the skipping."""
-    docs = spark.read.parquet(lang_partitioned_path(spark, sf_dir))
+    docs = spark.read.parquet(
+        lang_partitioned_path(spark, sf_dir, name="docs_by_lang_dpp")
+    )
     dim = spark.createDataFrame(
         [("en", 1), ("fr", 2), ("de", 0), ("es", 0), ("zh", 0)],
         "lang string, priority int",
@@ -187,19 +220,21 @@ def scan_nested_pruned(spark, sf_dir):
     over struct-typed lakes cheap: Parquet's columnar layout serves
     individual struct leaves, but only if the plan asks for leaves
     instead of whole structs."""
-    import hashlib
-
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = f"{wh}/docs_nested_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.struct(
-            F.col("lang"),
-            F.col("source"),
-            F.col("text"),
-            F.length("text").cast("bigint").alias("n_chars_meta"),
-        ).alias("meta"),
-    ).write.mode("overwrite").parquet(path)
+    path = _ensure_staged(
+        _staging_path(spark, sf_dir, "docs_nested"),
+        lambda p: load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("lang"),
+                F.col("source"),
+                F.col("text"),
+                F.length("text").cast("bigint").alias("n_chars_meta"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     return spark.read.parquet(path).select(
         "doc_id",
         F.col("meta.lang").alias("lang"),

@@ -118,8 +118,12 @@ def test_pagerank_is_partitioning_invariant(spark, tmp_path):
 
 def test_cooccur_edges_plan_is_aggregate_only(spark):
     """The corpus-sized stage must be ONE map-side-combining aggregation:
-    two HashAggregate operators around a single (src, dst) exchange, no
-    Window, no Python."""
+    two HashAggregate operators around a single (src, dst) HASH exchange,
+    no Window, no Python. The r7 guarded fan_out may add ONE round-robin
+    exchange below the aggregation (it redistributes an unsplittable
+    single-row-group scan and is a no-op at real scale); what this test
+    pins is that the token stream still collapses map-side before the
+    only keyed exchange."""
     import re
 
     from tests.test_plans import plan_of
@@ -128,9 +132,12 @@ def test_cooccur_edges_plan_is_aggregate_only(spark):
     plan = plan_of(df)
     # formatted plans list each operator once as "(n) Name" detail header
     aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    hash_ex = re.findall(r"hashpartitioning\(src", plan)
+    rr_ex = re.findall(r"RoundRobinPartitioning", plan)
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
-    assert len(aggs) == 2  # partial + final around ONE exchange
-    assert len(exchanges) == 1
+    assert len(aggs) == 2  # partial + final around ONE keyed exchange
+    assert len(hash_ex) == 1
+    assert len(exchanges) <= 1 + len(rr_ex)
     assert "Window" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan

@@ -362,3 +362,22 @@ def test_nested_schema_pruning_reads_only_leaves(spark):
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" in rs and "n_chars_meta" in rs
     assert "text" not in rs and "source" not in rs
+
+
+def test_staged_pruning_ops_do_not_invalidate_each_other(spark):
+    """ADVICE r6 #1 regression: both pruning ops used to stage-overwrite
+    the SAME warehouse dir at DataFrame-BUILD time, so building one op
+    deleted the part files the other op's already-built scan still
+    listed (FAILED_READ_FILE on collect). Build both first, then collect
+    both — and build partition_pruned AGAIN to prove a rebuild does not
+    kill dynamic_pruned's live DataFrame either."""
+    from glre_spark.operators import REGISTRY
+
+    pp, _ = REGISTRY["scan_partition_pruned"]
+    dpp, _ = REGISTRY["scan_dynamic_pruned"]
+    df_pp = pp(spark, SF_DIR)
+    df_dpp = dpp(spark, SF_DIR)
+    assert df_pp.count() > 0
+    pp(spark, SF_DIR)  # re-build; must not invalidate df_dpp below
+    assert df_dpp.count() > 0
+    assert df_pp.count() > 0

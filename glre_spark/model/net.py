@@ -204,12 +204,19 @@ class GLREModel:
     (h, t, rel_id, score) with score > θ, one (argmax) relation per ordered
     entity pair, gated by entity-type compatibility.
 
-    The pair stage is fully vectorized PER DOCUMENT: all candidate pairs
-    are scored in one numpy pass — no per-pair Python. Cross-document
-    batching was tried and measured 6× MORE CPU than per-doc (the
-    concatenated (pairs, M, H, dh) gathers fall out of cache; a
-    document's ~10³ gated pairs are L2-resident), so documents are scored
-    one at a time inside the Arrow batch. r5 restructured the pass around
+    The graph + attention stages are vectorized PER DOCUMENT: full
+    cross-document TENSOR batching (the (pairs, M, H, dh) attention
+    gathers) was tried in r5 and measured 6× MORE CPU — those gathers
+    fall out of cache, while a document's ~10³ gated pairs are
+    L2-resident — so per-doc work stays per-doc. r7 batches ONLY the
+    flat 2-D tail (ff1 + gated head) across the docs of one
+    ``predict_batch`` call: the per-doc (≈50, 64) GEMMs were numpy
+    dispatch-bound (~37% of the forward pass), and concatenating them
+    into per-batch (≈13k, 64) GEMMs measured 1298 → 962 us/doc at the
+    production Arrow batch size (256 docs). Same math, same per-element
+    add order; emit sets verified identical over 50k docs and the
+    score drift bound (BLAS kernel choice by row count) is ≤2e-7 —
+    the same standard as r5's restructure below. r5 notes: 
     three algebraic identities (2.7× on the kernel, structurally
     identical predictions, scores shift ≤1e-6): (1) every feature block
     that is constant per entity / per doc / per distance bucket goes
@@ -225,8 +232,15 @@ class GLREModel:
         self.threshold = threshold
 
     def predict(self, doc: Doc) -> list[tuple[int, int, str, float]]:
+        return self.predict_batch([doc])[0]
+
+    def _pair_stage(self, doc: Doc):
+        """Per-document stage: graph forward + per-pair local (attention)
+        reps. Returns None when the doc can emit nothing, else the flat
+        pair features the batched ff1/head tail consumes:
+        (hh, tt, l_h, l_t, dist, gidx, ent_g, ctx)."""
         if not doc.entities or len(doc.entities) < 2:
-            return []
+            return None
         w = self.w
         word_reps = encode_words(w, doc.sents)
         nodes, nm, ne, ns = build_nodes(w, doc, word_reps)
@@ -243,15 +257,15 @@ class GLREModel:
 
         # candidate ordered pairs with a non-empty type gate (the (6, 6)
         # _GATE_ANY lookup replaces gathering full (ne², 97) mask rows —
-        # the gated head below re-derives each pair's columns from its
+        # the gated head re-derives each pair's columns from its
         # type-pair group id)
-        hh, tt = np.meshgrid(np.arange(ne), np.arange(ne), indexing="ij")
-        hh, tt = hh.ravel(), tt.ravel()
+        hh = np.repeat(np.arange(ne), ne)
+        tt = np.tile(np.arange(ne), ne)
         keep = hh != tt
         keep &= _GATE_ANY[type_idx[hh], type_idx[tt]]
         hh, tt = hh[keep], tt[keep]
         if hh.size == 0:
-            return []
+            return None
 
         dh = D // HEADS
         # r5: q = concat(ent_h, ent_t) @ mha_q ≡ ent_h @ mha_q[:D] +
@@ -269,7 +283,7 @@ class GLREModel:
         # the former (P, M, H, dh) gather/einsum volume. The two role
         # passes stay SEPARATE — fusing them into one (2P, …) einsum
         # measured 1.4× slower (the doubled gather spills L2, same cache
-        # cliff as cross-doc batching, see class docstring).
+        # cliff as cross-doc tensor batching, see class docstring).
         n_ment = np.array([len(c) for c in doc.entities], dtype=np.int64)
         first_idx = np.array([c[0] for c in doc.entities], dtype=np.int64)
         l_single = (ment_g[first_idx] @ w["mha_v"]) @ w["mha_o"]  # (ne, D)
@@ -308,33 +322,56 @@ class GLREModel:
         l_h = batched_local(hh)
         l_t = batched_local(tt)
         dist = np.minimum(np.abs(first_sent[hh] - first_sent[tt]), N_DIST - 1)
-        # r5 FF restructure: feat @ ff1_w decomposes over ff1_w's six row
-        # blocks, and four of the six feat blocks are constant per entity
-        # (ent_g[hh], ent_g[tt]), per doc (ctx + bias), or per distance
-        # bucket (w["dist"]) — push those through their block at ne / 1 / 7
-        # rows and fan out by gather+add; only l_h and l_t (genuinely
-        # pair-specific) hit ff1 at P rows. Same values as the old
-        # (P, 168) @ (168, 64) GEMM up to float32 summation order (~1e-7
-        # score shift — verified not to flip any golden prediction, same
-        # standard as build_nodes' prefix-sum note above).
+        gidx = type_idx[hh] * len(_TYPES) + type_idx[tt]
+        return hh, tt, l_h, l_t, dist, gidx, ent_g, ctx
+
+    def predict_batch(self, docs: list[Doc]) -> list[list[tuple[int, int, str, float]]]:
+        """Per-doc graph stage (see class docstring), then ONE ff1 + gated
+        head over the concatenation of every doc's gated pairs. The r5 FF
+        restructure comments apply unchanged — feat @ ff1_w decomposes
+        over ff1_w's six row blocks; the entity / doc / distance-bucket
+        blocks run at ne / n_docs / 7 rows and fan out by gather+add; the
+        classifier computes logits only at each pair's ≤3 type-gated
+        columns, ascending, so the per-group argmax keeps the exact
+        lowest-index tie-break."""
+        w = self.w
         F1 = w["ff1_w"]
-        hid = (ent_g @ F1[0 * D : 1 * D])[hh]                     # (P, F)
-        hid += (ent_g @ F1[2 * D : 3 * D])[tt]
+        per, ent_blocks, ctx_rows, doc_idx = [], [], [], []
+        for di, doc in enumerate(docs):
+            st = self._pair_stage(doc)
+            if st is None:
+                continue
+            per.append(st[:6])
+            ent_blocks.append(st[6])
+            ctx_rows.append(st[7])
+            doc_idx.append(di)
+        out: list[list[tuple[int, int, str, float]]] = [[] for _ in docs]
+        if not per:
+            return out
+
+        ne_sizes = np.array([b.shape[0] for b in ent_blocks])
+        ent_off = np.concatenate([[0], np.cumsum(ne_sizes)])[:-1]
+        p_sizes = np.array([p[0].size for p in per])
+        pair_doc = np.repeat(np.arange(len(per)), p_sizes)
+        ent_all = np.vstack(ent_blocks)
+        hh_g = np.concatenate([p[0] + o for p, o in zip(per, ent_off)])
+        tt_g = np.concatenate([p[1] + o for p, o in zip(per, ent_off)])
+        l_h = np.vstack([p[2] for p in per])
+        l_t = np.vstack([p[3] for p in per])
+        dist = np.concatenate([p[4] for p in per])
+        gidx = np.concatenate([p[5] for p in per])
+        ctx_all = np.vstack(ctx_rows)
+
+        hid = (ent_all @ F1[0 * D : 1 * D])[hh_g]                 # (P, F)
+        hid += (ent_all @ F1[2 * D : 3 * D])[tt_g]
         hid += l_h @ F1[1 * D : 2 * D]
         hid += l_t @ F1[3 * D : 4 * D]
-        hid += ctx @ F1[4 * D : 5 * D] + w["ff1_b"]
+        hid += (ctx_all @ F1[4 * D : 5 * D] + w["ff1_b"])[pair_doc]
         hid += (w["dist"] @ F1[5 * D :])[dist]
         np.maximum(hid, 0.0, out=hid)
-        # r5 gated head: a pair's legal relations are the ≤3 _GATE_COLS of
-        # its type-pair group, so compute logits ONLY at those columns
-        # (8 tiny GEMMs per doc) instead of the full (P, 97) matmul + -inf
-        # mask + 97-wide argmax. Columns are ascending, so the per-group
-        # argmax resolves float ties to the lowest relation index exactly
-        # like the old full-row masked argmax. sigmoid stays monotone →
-        # argmax over gated logits === argmax over gated probs.
-        gidx = type_idx[hh] * len(_TYPES) + type_idx[tt]
-        best = np.zeros(hh.size, dtype=np.int64)
-        score = np.zeros(hh.size, dtype=np.float64)
+
+        best = np.zeros(hh_g.size, dtype=np.int64)
+        score = np.zeros(hh_g.size, dtype=np.float64)
         for gid in np.unique(gidx):
             cols = _GATE_COLS[int(gid)]
             sel = gidx == gid
@@ -343,16 +380,13 @@ class GLREModel:
             best[sel] = cols[bi]
             score[sel] = _sigmoid(lg[np.arange(lg.shape[0]), bi])
         emit = score > self.threshold
-        return [
-            (int(h), int(t), REL_IDS[int(b)], float(s))
-            for h, t, b, s in zip(hh[emit], tt[emit], best[emit], score[emit])
-        ]
-
-    def predict_batch(self, docs: list[Doc]) -> list[list[tuple[int, int, str, float]]]:
-        """Per-doc scoring over a list (see class docstring: cross-doc
-        tensor batching measured 6× more CPU than cache-resident per-doc
-        passes, so this is intentionally a loop)."""
-        return [self.predict(d) for d in docs]
+        hh_l = np.concatenate([p[0] for p in per])   # doc-local entity ids
+        tt_l = np.concatenate([p[1] for p in per])
+        for j in np.nonzero(emit)[0]:
+            out[doc_idx[pair_doc[j]]].append(
+                (int(hh_l[j]), int(tt_l[j]), REL_IDS[int(best[j])], float(score[j]))
+            )
+        return out
 
 
 def infer_doc(model: GLREModel, url: str, text: str) -> list[dict]:

@@ -177,11 +177,16 @@ def domain_skew(cores: int, n_rows: int) -> dict:
         w = time.time() - t0
         st = [s for s in _completed_stages(spark) if s["stage_id"] > before]
         wrote = max((s["shuf_write_recs"] for s in st), default=0)
-        rec = out.setdefault(m, {"walls": [], "groups": int(row["groups"])})
+        rec = out.setdefault(m, {"walls": [], "_recs": [], "groups": int(row["groups"])})
         rec["walls"].append(round(w, 2))
-        rec["shuf_write_recs"] = wrote
+        rec["_recs"].append(wrote)
     for r in out.values():
-        r["wall_s"] = min(r["walls"])
+        # report the combiner-row count FROM THE MIN-WALL RUN so the row
+        # is self-consistent (ADVICE r6: it used to quote the last run's
+        # recs against the min run's wall)
+        i = r["walls"].index(min(r["walls"]))
+        r["wall_s"] = r["walls"][i]
+        r["shuf_write_recs"] = r.pop("_recs")[i]
     return {"n_rows": n_rows, "cores": cores, **out}
 
 
